@@ -1,0 +1,79 @@
+"""Connected components on device: counting and labeling.
+
+The reference counts cosmic-ray and saturated-star blobs with
+``scipy.ndimage.label`` (8-connectivity) on the host
+(/root/reference/blackbox.py:4343-4349, 4550-4560).  On device, two tools:
+
+* :func:`euler_count` — single-pass bit-quad (Gray) counting of the Euler
+  number, which equals the 8-connected component count for hole-free masks
+  (cosmic hits, hole-filled saturation blobs).  O(1) passes, VPU-only.
+* :func:`label_components` — iterative min-label propagation for exact
+  labels when downstream ops need per-component identities (e.g. source
+  segmentation).  Cost is one 3x3 min-pool per iteration.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def euler_count(mask) -> jnp.ndarray:
+    """8-connectivity Euler number (= component count for hole-free masks).
+
+    Gray's bit-quad formula: E8 = (Q1 - Q3 - 2*Qd) / 4 over all 2x2 windows
+    (with one-pixel zero padding so border blobs count).
+    """
+    m = jnp.pad(mask.astype(jnp.int32), 1)
+    a = m[:-1, :-1]
+    b = m[:-1, 1:]
+    c = m[1:, :-1]
+    d = m[1:, 1:]
+    s = a + b + c + d
+    q1 = jnp.sum(s == 1)
+    q3 = jnp.sum(s == 3)
+    qd = jnp.sum((s == 2) & (a == d) & (a != b))
+    return (q1 - q3 - 2 * qd) // 4
+
+
+def label_components(mask, iters: int = 64):
+    """Iterative 8-connected labeling by min-label propagation.
+
+    Returns int32 labels (0 = background, >0 = component id given by the
+    flattened index of the component's minimum pixel + 1).  ``iters`` bounds
+    the geodesic radius that can merge; pick it larger than the expected
+    blob diameter.
+    """
+    H, W = mask.shape
+    idx = (jnp.arange(H * W, dtype=jnp.int32).reshape(H, W) + 1)
+    big = jnp.int32(H * W + 2)
+    lab = jnp.where(mask, idx, big)
+
+    def body(_, lab):
+        p = jnp.pad(lab, 1, constant_values=big)
+        nb = lab
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = jnp.minimum(nb, p[1 + dy:H + 1 + dy, 1 + dx:W + 1 + dx])
+        return jnp.where(mask, jnp.minimum(lab, nb), big)
+
+    lab = lax.fori_loop(0, iters, body, lab)
+    return jnp.where(mask, lab, 0)
+
+
+def count_components(mask, iters: int = 64):
+    """Exact 8-connected component count via labeling (device)."""
+    lab = label_components(mask, iters=iters)
+    idx = jnp.arange(mask.size, dtype=jnp.int32).reshape(mask.shape) + 1
+    return jnp.sum((lab == idx) & mask)
+
+
+def count_components_host(mask) -> int:
+    """Host-side exact count via scipy (outside jit)."""
+    import numpy as np
+    from scipy import ndimage
+    _, n = ndimage.label(np.asarray(mask), structure=np.ones((3, 3), bool))
+    return int(n)

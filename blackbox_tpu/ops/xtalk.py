@@ -1,0 +1,75 @@
+"""Crosstalk correction as two MXU contractions.
+
+The reference builds a (5280, 1320, 16) stack plus a y-flipped copy and
+does four quadrant ``np.matmul`` calls against a 16x16 coefficient matrix
+(/root/reference/blackbox.py:7138-7258, ~3 s on CPU).  The channel-stack
+layout makes this two einsums: one contraction with the same-row quadrant
+coefficients, one with the cross-row quadrant on the y-flipped stack —
+exactly the MXU-shaped formulation of the physics (victim correction is a
+linear mix of source-channel images, mirrored when source and victim are on
+different readout rows).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from blackbox_tpu.core import maskbits
+
+
+def coeff_quadrants(coeffs, nx: int):
+    """Split a (C, C) source->victim matrix into same-row / cross-row parts."""
+    C = coeffs.shape[0]
+    row = np.arange(C) // nx
+    same = (row[:, None] == row[None, :])
+    return coeffs * same, coeffs * ~same
+
+
+def xtalk_correct(chan_data, mask, coeffs, nx: int = 8):
+    """Subtract crosstalk from a channel stack.
+
+    chan_data : (C, ych, xch) [e-]
+    mask      : (C, ych, xch) uint8 bit mask (or None)
+    coeffs    : (C, C) coefficients, source along axis 0, victim along 1
+
+    Source pixels contribute only where positive and not bad/cosmic; victim
+    pixels in the edge region are left untouched (reference semantics).
+    """
+    coeffs = jnp.asarray(coeffs, chan_data.dtype)
+    if mask is None:
+        src = jnp.maximum(chan_data, 0.0)
+        victim_ok = None
+    else:
+        bad = (mask & (maskbits.BAD | maskbits.COSMIC)) != 0
+        src = jnp.where((chan_data > 0) & ~bad, chan_data, 0.0)
+        victim_ok = (mask & maskbits.EDGE) == 0
+
+    same_np, cross_np = coeff_quadrants(np.asarray(coeffs), nx)
+    same = jnp.asarray(same_np, chan_data.dtype)
+    cross = jnp.asarray(cross_np, chan_data.dtype)
+
+    src_flip = src[:, ::-1, :]
+    # corr[v, y, x] = sum_s same[s, v] * src[s, y, x]
+    #              + sum_s cross[s, v] * src_flip[s, y, x]
+    corr = jnp.einsum("syx,sv->vyx", src, same,
+                      preferred_element_type=jnp.float32)
+    corr += jnp.einsum("syx,sv->vyx", src_flip, cross,
+                       preferred_element_type=jnp.float32)
+    if victim_ok is not None:
+        corr = jnp.where(victim_ok, corr, 0.0)
+    return chan_data - corr
+
+
+def load_coeff_file(path: str, n_chan: int = 16) -> np.ndarray:
+    """Parse a crosstalk coefficient ASCII file (victim source correction)."""
+    coeffs = np.zeros((n_chan, n_chan), np.float64)
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith(("#", "victim")):
+                continue
+            parts = line.split()
+            v, s = int(parts[0]) - 1, int(parts[1]) - 1
+            coeffs[s, v] = float(parts[2])
+    return coeffs

@@ -1,0 +1,32 @@
+"""Test configuration: force a virtual 8-device CPU platform.
+
+Multi-chip sharding paths are validated on a host-platform device mesh
+(SURVEY.md §4): set the env BEFORE jax initialises.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+# single-core machine: persistent compile cache makes re-runs cheap
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-cpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from blackbox_tpu.core.geometry import TINY  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def geom():
+    return TINY
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)

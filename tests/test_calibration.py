@@ -1,0 +1,122 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from blackbox_tpu.core.geometry import TINY
+from blackbox_tpu.core import maskbits
+from blackbox_tpu.ops.gain import gain_correct
+from blackbox_tpu.ops.overscan import overscan_correct, OverscanParams
+from blackbox_tpu.ops.xtalk import xtalk_correct, coeff_quadrants
+from blackbox_tpu.ops.masking import build_mask
+from blackbox_tpu.synth import make_raw_bias, make_raw_science
+
+
+def _calibrate_bias(raw, truth, geom):
+    chan, osv, osh = geom.split_raw(jnp.asarray(raw))
+    g = jnp.asarray(truth.gain)
+    chan, osv, osh = gain_correct(chan, osv, osh, g)
+    params = OverscanParams(mode="ML")
+    out, stats = overscan_correct(chan, osv, osh, params=params)
+    return np.asarray(out), {k: np.asarray(v) for k, v in stats.items()}
+
+
+def test_overscan_removes_bias_structure(rng):
+    geom = TINY
+    raw, truth = make_raw_bias(geom, rng)
+    out, stats = _calibrate_bias(raw, truth, geom)
+
+    # corrected bias frame should be ~zero everywhere; TINY's strips are
+    # 10 columns / 8 rows, so strip statistics alone allow a few e- offset
+    assert abs(out.mean()) < 2.0
+    chan_means = out.mean(axis=(1, 2))
+    assert np.all(np.abs(chan_means) < 4.0)
+
+    # BIASM ~ bias level in e- (bias_level + mean drift) per channel
+    expect = truth.bias_level * truth.gain
+    assert np.all(np.abs(stats["biasm"] - expect) < 20.0)
+
+    # read noise in e- close to truth
+    expect_rdn = truth.rdnoise_adu * truth.gain
+    np.testing.assert_allclose(stats["rdn"], expect_rdn, rtol=0.2)
+
+    assert np.isfinite(stats["biasmean"])
+    assert stats["vfit_ok"].all()
+
+
+def test_overscan_row_drift_removed(rng):
+    geom = TINY
+    raw, truth = make_raw_bias(geom, rng)
+    out, _ = _calibrate_bias(raw, truth, geom)
+    # residual row structure: std of row means should be ~rdnoise/sqrt(ncols)
+    row_means = out.mean(axis=2)          # (C, ych)
+    resid = row_means - row_means.mean(axis=1, keepdims=True)
+    lim = 4.0 * (truth.rdnoise_adu * truth.gain).max() / \
+        np.sqrt(geom.xsize_chan)
+    assert resid.std() < lim + 0.5
+
+
+def test_xtalk_roundtrip(rng):
+    geom = TINY
+    C = geom.n_chan
+    clean = rng.normal(1000.0, 10.0, geom.chan_shape).astype(np.float32)
+    clean = np.abs(clean)
+    coeffs = (rng.random((C, C)) * 1e-3).astype(np.float32)
+    np.fill_diagonal(coeffs, 0.0)
+
+    # forward-apply crosstalk the way the physics does
+    same, cross = coeff_quadrants(coeffs, geom.nx)
+    corrupted = clean + (
+        np.einsum("syx,sv->vyx", clean, same)
+        + np.einsum("syx,sv->vyx", clean[:, ::-1, :], cross))
+
+    fixed = np.asarray(xtalk_correct(jnp.asarray(corrupted), None,
+                                     jnp.asarray(coeffs), geom.nx))
+    # first-order correction: residual ~ coeffs^2 * signal ~ 1e-3
+    np.testing.assert_allclose(fixed, clean, atol=0.5)
+
+
+def test_build_mask_saturation(rng):
+    geom = TINY
+    C = geom.n_chan
+    data = np.full(geom.chan_shape, 100.0, np.float32)
+    satlevel_adu = np.full(C, 1000.0, np.float32)
+    gains = np.ones(C, np.float32)
+    biasm = jnp.zeros(C)
+
+    # one saturated blob in channel 3
+    data[3, 10:13, 5:8] = 2000.0
+    # non-finite pixel in channel 0
+    data[0, 2, 2] = np.nan
+
+    out, mask, stats = build_mask(jnp.asarray(data), None,
+                                  jnp.asarray(satlevel_adu),
+                                  jnp.asarray(gains), biasm, nx=geom.nx,
+                                  fill_iters=8)
+    out, mask = np.asarray(out), np.asarray(mask)
+
+    assert out[0, 2, 2] == 0.0
+    assert mask[0, 2, 2] & maskbits.BAD
+    assert (mask[3, 10:13, 5:8] & maskbits.SATURATED).all()
+    # ring around the blob flagged saturated-connected
+    assert mask[3, 9, 5] & maskbits.SAT_CONNECTED
+    # crosstalk victims: same footprint in other channels
+    assert (mask[4, 10:13, 5:8] & maskbits.CROSSTALK).all()
+    # cross-row victims are y-flipped
+    ych = geom.ysize_chan
+    assert (mask[11, ych - 13:ych - 10, 5:8] & maskbits.CROSSTALK).all()
+    # source channel not self-flagged as victim
+    assert not (mask[3, 10:13, 5:8] & maskbits.CROSSTALK).any()
+    assert float(stats["saturate"]) == 1000.0
+
+
+def test_full_science_calibration_smoke(rng):
+    geom = TINY
+    raw, truth = make_raw_science(geom, rng, nstars=30, ncosmics=5,
+                                  trail=False, nsat=1)
+    chan, osv, osh = geom.split_raw(jnp.asarray(raw))
+    chan, osv, osh = gain_correct(chan, osv, osh, jnp.asarray(truth.gain))
+    chan, stats = overscan_correct(chan, osv, osh)
+    assert np.isfinite(np.asarray(chan)).all()
+    # sky level should survive calibration: median ~ sky * median(flat)
+    med = float(jnp.median(chan))
+    assert abs(med - truth.sky) / truth.sky < 0.15
