@@ -1,0 +1,91 @@
+"""Sky-background mesh estimation and full-resolution interpolation.
+
+Replaces the SExtractor/zogy background machinery the reference leans on
+(`bkg_boxsize`/`bkg_filtersize` from set_zogy, `zogy.mini2back` consumed at
+/root/reference/buildref.py:2480-2493): per-box sigma-clipped median/STD
+meshes, 3x3 median filtering of the mesh, and bicubic (Catmull-Rom)
+upsampling to full resolution expressed as two dense matmuls — an
+MXU-shaped formulation that makes mini->back essentially free on TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from blackbox_tpu.ops.stats import sigma_clip, masked_median, masked_mean_std
+
+
+def background_mesh(image, mask, boxsize: int, nsigma: float = 3.0,
+                    filtersize: int = 3):
+    """Sigma-clipped median/STD background mesh.
+
+    image : (H, W); mask : bool (True = excluded) or None
+    Returns (bkg_mini (ny, nx), std_mini (ny, nx)).
+    """
+    H, W = image.shape
+    ny, nx = H // boxsize, W // boxsize
+    tiles = image[:ny * boxsize, :nx * boxsize].reshape(
+        ny, boxsize, nx, boxsize).swapaxes(1, 2).reshape(ny, nx, -1)
+    if mask is None:
+        tbad = jnp.zeros(tiles.shape, bool)
+    else:
+        tbad = mask[:ny * boxsize, :nx * boxsize].reshape(
+            ny, boxsize, nx, boxsize).swapaxes(1, 2).reshape(ny, nx, -1)
+
+    clip = sigma_clip(tiles, mask=tbad, axis=2, sigma=nsigma, iters=3,
+                      cenfunc="median")
+    med = masked_median(tiles, clip, axis=2)
+    _, std = masked_mean_std(tiles, clip, axis=2)
+    med = jnp.nan_to_num(med, nan=jnp.nanmedian(med))
+    std = jnp.nan_to_num(std, nan=jnp.nanmedian(std))
+
+    if filtersize > 1:
+        med = _mesh_median_filter(med, filtersize)
+        std = _mesh_median_filter(std, filtersize)
+    return med, std
+
+
+def _mesh_median_filter(mesh, k: int):
+    p = k // 2
+    mp = jnp.pad(mesh, p, mode="edge")
+    ny, nx = mesh.shape
+    views = [mp[dy:dy + ny, dx:dx + nx] for dy in range(k) for dx in range(k)]
+    return jnp.median(jnp.stack(views, 0), axis=0)
+
+
+def _catmull_rom_matrix(n_out: int, n_mesh: int, boxsize: int) -> np.ndarray:
+    """Dense (n_out, n_mesh) Catmull-Rom interpolation matrix.
+
+    Mesh node i sits at pixel centre (i + 0.5) * boxsize - 0.5; edge nodes
+    are replicated (clamped) outside the grid.
+    """
+    W = np.zeros((n_out, n_mesh), np.float32)
+    centers0 = 0.5 * boxsize - 0.5
+    for y in range(n_out):
+        t = (y - centers0) / boxsize
+        i0 = int(np.floor(t))
+        u = t - i0
+        # Catmull-Rom weights for nodes i0-1 .. i0+2
+        w = np.array([
+            0.5 * (-u ** 3 + 2 * u ** 2 - u),
+            0.5 * (3 * u ** 3 - 5 * u ** 2 + 2),
+            0.5 * (-3 * u ** 3 + 4 * u ** 2 + u),
+            0.5 * (u ** 3 - u ** 2),
+        ], np.float32)
+        for j, wi in zip(range(i0 - 1, i0 + 3), w):
+            W[y, min(max(j, 0), n_mesh - 1)] += wi
+    return W
+
+
+def mini2back(mesh, out_shape, boxsize: int):
+    """Bicubic upsample of a background mesh to full resolution.
+
+    Two dense matmuls: ``Wy @ mesh @ Wx.T`` with precomputed Catmull-Rom
+    weight matrices (host-built, shape (H, ny) and (W, nx)).
+    """
+    H, W = out_shape
+    ny, nx = mesh.shape
+    Wy = jnp.asarray(_catmull_rom_matrix(H, ny, boxsize))
+    Wx = jnp.asarray(_catmull_rom_matrix(W, nx, boxsize))
+    return Wy @ mesh @ Wx.T

@@ -1,0 +1,141 @@
+"""2-D median filters and small stencils, tiled for device memory.
+
+A k x k median needs the k^2 shifted copies of the image resident; at
+10560^2 float32 that is 22 GB for k=7, so the image is processed in row
+strips under ``lax.map`` (sequential, compiled once) keeping the transient
+footprint at ``k^2 * strip * W``.  A fused Pallas kernel for the L.A.Cosmic
+pipeline lives in :mod:`blackbox_tpu.pallas.lacosmic`; these jnp versions
+are the reference path and the CPU/test fallback.
+
+Border semantics: the outermost ``k//2`` rows/columns keep the input value,
+matching the behaviour of the reference's astroscrappy median filters
+(/root/reference/blackbox.py:4325-4332 relies on them only for interior
+stencils).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _neighborhood_stack(strip, k: int):
+    """(h + 2p, W + 2p) padded strip -> (k*k, h, W) shifted views."""
+    h = strip.shape[0] - (k - 1)
+    W = strip.shape[1] - (k - 1)
+    views = [strip[dy:dy + h, dx:dx + W]
+             for dy in range(k) for dx in range(k)]
+    return jnp.stack(views, axis=0)
+
+
+def _strip_apply(img, k: int, strip_rows: int, fn, extra=None):
+    """Apply ``fn(stack, extra_stack) -> (h, W)`` over padded row strips."""
+    H, W = img.shape
+    p = k // 2
+    nstrips = -(-H // strip_rows)
+    Hpad = nstrips * strip_rows
+    imgp = jnp.pad(img, ((p, p + Hpad - H), (p, p)), mode="edge")
+    if extra is not None:
+        extrap = jnp.pad(extra, ((p, p + Hpad - H), (p, p)), mode="edge")
+
+    def one(i):
+        r0 = i * strip_rows
+        s = lax.dynamic_slice(imgp, (r0, 0), (strip_rows + 2 * p, W + 2 * p))
+        st = _neighborhood_stack(s, k)
+        if extra is None:
+            return fn(st)
+        e = lax.dynamic_slice(extrap, (r0, 0), (strip_rows + 2 * p, W + 2 * p))
+        return fn(st, _neighborhood_stack(e, k))
+
+    out = lax.map(one, jnp.arange(nstrips))
+    return out.reshape(Hpad, W)[:H]
+
+
+def median_filter(img, k: int, strip_rows: int = 264):
+    """k x k median filter; borders keep the input value."""
+    H, W = img.shape
+    out = _strip_apply(img, k, strip_rows, lambda st: jnp.median(st, axis=0))
+    return _restore_border(out, img, k // 2)
+
+
+def masked_median_filter(img, bad, k: int = 5, strip_rows: int = 264,
+                         fallback=None):
+    """k x k median over neighbours where ``bad`` is False.
+
+    Pixels whose whole neighbourhood is bad fall back to ``fallback``
+    (default: the input value).
+    """
+    big = jnp.asarray(jnp.finfo(img.dtype).max, img.dtype)
+
+    def fn(st, bst):
+        bmask = bst > 0.5
+        vals = jnp.where(bmask, big, st)
+        vs = jnp.sort(vals, axis=0)
+        n = jnp.sum(~bmask, axis=0)
+        i_lo = jnp.maximum(n - 1, 0) // 2
+        i_hi = n // 2
+        lo = jnp.take_along_axis(vs, i_lo[None], axis=0)[0]
+        hi = jnp.take_along_axis(vs, i_hi[None], axis=0)[0]
+        med = 0.5 * (lo + hi)
+        return jnp.where(n > 0, med, jnp.nan)
+
+    out = _strip_apply(img, k, strip_rows, fn, extra=bad.astype(img.dtype))
+    fb = img if fallback is None else fallback
+    out = jnp.where(jnp.isnan(out), fb, out)
+    return _restore_border(out, img, k // 2)
+
+
+def _restore_border(out, img, p: int):
+    if p == 0:
+        return out
+    H, W = img.shape
+    ri = jnp.arange(H)[:, None]
+    ci = jnp.arange(W)[None, :]
+    border = (ri < p) | (ri >= H - p) | (ci < p) | (ci >= W - p)
+    return jnp.where(border, img, out)
+
+
+def laplacian_subsampled(img):
+    """L+ of the 2x-subsampled image, rebinned back (van Dokkum 2001 §3).
+
+    Subsampling by pixel replication followed by the 4-connected Laplacian
+    and 2x2 averaging of its positive part.  Computed without materialising
+    the 2x-subsampled image: each output pixel's four subpixels see the
+    same centre value, so the rebinned positive Laplacian decomposes into
+    the average of the four subpixel responses — evaluated here directly
+    from the four neighbour differences.
+    """
+    # subpixel Laplacian at subpixel (a, b) of pixel (i, j):
+    #   4*v - up - left_sub - right_sub - down  where the two neighbours
+    # inside the same pixel equal v.  For subpixel (0,0):
+    #   l = 4v - v(up) - v(left) - 2v  -> 2v - up - left ... etc.
+    v = img
+    up = jnp.roll(v, 1, 0)
+    dn = jnp.roll(v, -1, 0)
+    lf = jnp.roll(v, 1, 1)
+    rt = jnp.roll(v, -1, 1)
+    # four subpixels: (up,left), (up,right), (down,left), (down,right)
+    l00 = 2 * v - up - lf
+    l01 = 2 * v - up - rt
+    l10 = 2 * v - dn - lf
+    l11 = 2 * v - dn - rt
+    pos = lambda a: jnp.maximum(a, 0.0)  # noqa: E731
+    lplus = 0.25 * (pos(l00) + pos(l01) + pos(l10) + pos(l11))
+    # the reference implementation zeroes nothing at borders; edge rows see
+    # wrapped neighbours from jnp.roll — overwrite with 0 there
+    H, W = img.shape
+    ri = jnp.arange(H)[:, None]
+    ci = jnp.arange(W)[None, :]
+    border = (ri == 0) | (ri == H - 1) | (ci == 0) | (ci == W - 1)
+    return jnp.where(border, 0.0, lplus)
+
+
+def dilate(m, k: int = 3):
+    """Boolean dilation with a k x k structure (single pass)."""
+    p = k // 2
+    x = jnp.pad(m.astype(jnp.float32), p)
+    out = lax.reduce_window(x, -jnp.inf, lax.max, (k, k), (1, 1), "VALID")
+    return out > 0.5

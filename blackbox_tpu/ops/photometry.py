@@ -1,0 +1,55 @@
+"""Aperture photometry, vectorised over a fixed-capacity catalog.
+
+Replaces the SExtractor aperture measurements the reference gets through
+zogy (`apphot_radii` in units of FWHM — set_zogy contract, SURVEY.md §2.5).
+Each source's window is fetched with a vmapped ``dynamic_slice``; fluxes
+are fractional-coverage-weighted circle sums, with errors from the
+background-STD map plus source Poisson noise (data in e-, gain 1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def aperture_photometry(image_bksub, bkg_std, xs, ys, radii,
+                        window: int = 32):
+    """Sum fluxes in circular apertures.
+
+    image_bksub : (H, W) background-subtracted image [e-]
+    bkg_std     : (H, W) background STD map
+    xs, ys      : (N,) centroids (0-based pixel coords)
+    radii       : sequence of aperture radii [pix] (static length R)
+    window      : static cutout size (>= 2*max(radii)+2)
+
+    Returns (flux (N, R), fluxerr (N, R)).
+    """
+    H, W = image_bksub.shape
+    half = window // 2
+    radii = jnp.asarray(radii, jnp.float32)               # (R,)
+
+    x0 = jnp.clip(jnp.round(xs).astype(jnp.int32) - half, 0, W - window)
+    y0 = jnp.clip(jnp.round(ys).astype(jnp.int32) - half, 0, H - window)
+
+    dyx = jnp.arange(window, dtype=jnp.float32)
+
+    def one(x0i, y0i, xi, yi):
+        cut = jax.lax.dynamic_slice(image_bksub, (y0i, x0i),
+                                    (window, window))
+        var = jax.lax.dynamic_slice(bkg_std, (y0i, x0i),
+                                    (window, window)) ** 2
+        dy = dyx + y0i.astype(jnp.float32) - yi
+        dx = dyx + x0i.astype(jnp.float32) - xi
+        r = jnp.sqrt(dy[:, None] ** 2 + dx[None, :] ** 2)   # (w, w)
+        # fractional coverage: linear ramp across the aperture edge
+        covg = jnp.clip(radii[:, None, None] + 0.5 - r[None], 0.0, 1.0)
+        flux = jnp.sum(covg * cut[None], axis=(1, 2))
+        err2 = jnp.sum(covg * var[None], axis=(1, 2)) + jnp.maximum(flux, 0.0)
+        return flux, jnp.sqrt(err2)
+
+    return jax.vmap(one)(x0, y0, xs, ys)
+
+
+def snr_optimal(flux, fluxerr):
+    return flux / jnp.maximum(fluxerr, 1e-9)

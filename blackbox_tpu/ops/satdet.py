@@ -1,0 +1,146 @@
+"""Satellite-trail detection via a shear-sum Radon transform.
+
+The reference detects trails either with the ASTA keras U-Net or with
+acstools' Hough-transform fallback (/root/reference/blackbox.py:4090-4254).
+The device-native equivalent here is a Radon transform computed by shearing:
+for every slope ``a`` the image is sheared so lines of that slope become
+rows, and a row sum gives the line integrals — all slopes batched as one
+gather + reduction, steep lines handled on the transpose.  Trails show up
+as peaks of the length-normalised line integral; detected (slope,
+intercept) peaks are rasterised back into a widened trail mask.
+
+A flax U-Net port (ASTA-equivalent) is provided in
+:mod:`blackbox_tpu.models.trailnet`; this Radon path is the dependency-free
+default and the legacy-parity fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SatDetParams:
+    bin_factor: int = 4          # binning before the transform
+    n_slopes: int = 101          # slopes in [-1, 1] per orientation
+    nsigma: float = 8.0          # peak threshold over profile noise
+    min_fill: float = 0.2        # min fraction of line crossing the frame lit
+    trail_halfwidth: int = 5     # half-width of the rasterised trail mask
+    max_trails: int = 8          # static cap on detected trails
+
+
+def _bin2d(img, f: int):
+    H, W = img.shape
+    Hc, Wc = H // f, W // f
+    return img[:Hc * f, :Wc * f].reshape(Hc, f, Wc, f).mean(axis=(1, 3))
+
+
+def _shear_profiles(B, n_slopes: int):
+    """Line sums for slopes in [-1, 1]: out[a, b] = sum_x B[x, b + a*x].
+
+    B is indexed (x, y) = (row, col); lines run along rows with |dy/dx|<=1.
+    Returns (profiles (A, Wb), hit counts (A, Wb)).
+    """
+    Hx, Wy = B.shape
+    slopes = jnp.linspace(-1.0, 1.0, n_slopes)
+    x = jnp.arange(Hx)
+    b = jnp.arange(Wy)
+
+    def one_slope(a):
+        # y index per (x, b); out-of-range contributes nothing
+        yidx = jnp.round(b[None, :] + a * x[:, None]).astype(jnp.int32)
+        valid = (yidx >= 0) & (yidx < Wy)
+        yc = jnp.clip(yidx, 0, Wy - 1)
+        vals = jnp.where(valid, jnp.take_along_axis(
+            jnp.broadcast_to(B, (Hx, Wy)), yc, axis=1), 0.0)
+        return vals.sum(axis=0), valid.sum(axis=0)
+
+    # chunked over slopes to bound the gather transient: vmap inside,
+    # sequential lax.map outside
+    chunk = 8
+    npad = -(-n_slopes // chunk) * chunk
+    sl_pad = jnp.pad(slopes, (0, npad - n_slopes))
+    prof, nhit = jax.lax.map(jax.vmap(one_slope),
+                             sl_pad.reshape(-1, chunk))
+    prof = prof.reshape(npad, Wy)[:n_slopes]
+    nhit = nhit.reshape(npad, Wy)[:n_slopes]
+    return prof, nhit
+
+
+def detect_trails(image, mask_excl=None,
+                  params: SatDetParams = SatDetParams()):
+    """Detect straight bright trails.
+
+    image : (H, W) background-subtracted (or raw; the median is removed)
+    mask_excl : optional bool — pixels ignored (saturated columns etc.)
+
+    Returns (trail_mask bool (H, W), n_trails, peak_snr).
+    """
+    p = params
+    H, W = image.shape
+    B = _bin2d(image, p.bin_factor)
+    if mask_excl is not None:
+        Bm = _bin2d(mask_excl.astype(jnp.float32), p.bin_factor) > 0.5
+        B = jnp.where(Bm, 0.0, B)
+    # robust background removal + positive clipping
+    med = jnp.median(B)
+    mad = jnp.median(jnp.abs(B - med)) * 1.4826 + 1e-6
+    Z = jnp.clip((B - med) / mad, 0.0, 8.0)   # winsorised significance map
+
+    results = []
+    for transpose in (False, True):
+        Bt = Z.T if transpose else Z
+        prof, nhit = _shear_profiles(Bt, p.n_slopes)
+        nhit = jnp.maximum(nhit, 1)
+        # normalised mean significance along the line; require decent fill
+        line_mean = prof / nhit
+        fill_ok = nhit >= (p.min_fill * Bt.shape[0])
+        # noise of the mean: the winsorised map has unit-ish sigma
+        snr = line_mean * jnp.sqrt(nhit.astype(jnp.float32))
+        snr = jnp.where(fill_ok, snr, 0.0)
+        results.append(snr)
+
+    snr_all = jnp.stack(results)                      # (2, A, Wb)
+
+    # peak picking with non-max suppression in a (5, 11) neighbourhood
+    from jax import lax
+    flat = snr_all
+    padded = jnp.pad(flat, ((0, 0), (2, 2), (5, 5)), constant_values=0)
+    local_max = lax.reduce_window(padded, -jnp.inf, lax.max,
+                                  (1, 5, 11), (1, 1, 1), "VALID")
+    is_peak = (flat >= local_max) & (flat > p.nsigma)
+
+    # take the top max_trails peaks
+    vals = jnp.where(is_peak, flat, 0.0).ravel()
+    top_v, top_i = jax.lax.top_k(vals, p.max_trails)
+    n_trails = jnp.sum(top_v > 0)
+
+    # rasterise each detected line back at full resolution
+    A, Wb = flat.shape[1], flat.shape[2]
+    t_idx = top_i // (A * Wb)                          # orientation
+    a_idx = (top_i // Wb) % A
+    b_idx = top_i % Wb
+    slopes = jnp.linspace(-1.0, 1.0, p.n_slopes)[a_idx]
+    b0 = b_idx.astype(jnp.float32)
+
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    f = float(p.bin_factor)
+    hw = p.trail_halfwidth
+
+    def line_mask(k):
+        active = top_v[k] > 0
+        s, b, tr = slopes[k], b0[k], t_idx[k]
+        # orientation 0: line is col = s*row + b (in binned coords)
+        # orientation 1 (transpose): row = s*col + b
+        d0 = jnp.abs(xx / f - (s * yy / f + b))
+        d1 = jnp.abs(yy / f - (s * xx / f + b))
+        d = jnp.where(tr == 0, d0, d1)
+        return active & (d * f <= hw)
+
+    masks = jax.vmap(line_mask)(jnp.arange(p.max_trails))
+    trail_mask = jnp.any(masks, axis=0)
+    return trail_mask, n_trails, top_v

@@ -7,10 +7,6 @@ Multi-chip sharding paths are validated on a host-platform device mesh
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# single-core machine: persistent compile cache makes re-runs cheap
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-cpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,125 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from blackbox_tpu.ops.background import background_mesh, mini2back
+from blackbox_tpu.ops.detection import (
+    DetectParams, detect_segments, segment_catalog, moments_shape)
+from blackbox_tpu.ops.photometry import aperture_photometry
+from blackbox_tpu.ops.satdet import detect_trails, SatDetParams
+from blackbox_tpu.synth.generator import star_image
+
+
+def _field(rng, H=256, W=256, nstars=12, sky=200.0, fwhm=3.0,
+           flux_range=(3e3, 3e4)):
+    xs = rng.uniform(16, W - 16, nstars)
+    ys = rng.uniform(16, H - 16, nstars)
+    fluxes = np.exp(rng.uniform(np.log(flux_range[0]),
+                                np.log(flux_range[1]), nstars))
+    stars = np.stack([xs, ys, fluxes, np.full(nstars, fwhm)], axis=1)
+    img = star_image((H, W), stars) + sky
+    img = rng.poisson(img).astype(np.float32)
+    img += rng.normal(0, 5.0, img.shape).astype(np.float32)
+    return img.astype(np.float32), stars
+
+
+def test_background_mesh_flat_sky(rng):
+    img, stars = _field(rng, nstars=6)
+    mesh, std = background_mesh(jnp.asarray(img), None, 32)
+    mesh = np.asarray(mesh)
+    assert abs(np.median(mesh) - 200.0) < 3.0
+    # stars should not drag boxes up by much (clipped median)
+    assert mesh.max() - mesh.min() < 15.0
+    full = np.asarray(mini2back(jnp.asarray(mesh), img.shape, 32))
+    assert full.shape == img.shape
+    assert abs(np.median(full) - 200.0) < 3.0
+
+
+def test_mini2back_smooth_gradient():
+    # exact reproduction of a linear gradient (bicubic reproduces linears)
+    ny = nx = 8
+    bs = 16
+    yy, xx = np.mgrid[0:ny, 0:nx].astype(np.float32)
+    mesh = 10.0 + 2.0 * yy + 3.0 * xx
+    full = np.asarray(mini2back(jnp.asarray(mesh), (ny * bs, nx * bs), bs))
+    # check interior against the analytic plane
+    ys = (np.arange(ny * bs) - (0.5 * bs - 0.5)) / bs
+    xs = (np.arange(nx * bs) - (0.5 * bs - 0.5)) / bs
+    want = 10.0 + 2.0 * ys[:, None] + 3.0 * xs[None, :]
+    s = slice(2 * bs, -2 * bs)   # clamped edge nodes distort the 1st boxes
+    np.testing.assert_allclose(full[s, s], want[s, s], rtol=1e-4)
+
+
+def test_detection_finds_stars(rng):
+    img, stars = _field(rng, nstars=10)
+    mesh, stdm = background_mesh(jnp.asarray(img), None, 32)
+    bkg = mini2back(mesh, img.shape, 32)
+    bstd = mini2back(stdm, img.shape, 32)
+    sub = jnp.asarray(img) - bkg
+
+    params = DetectParams(nsigma=2.0, max_sources=128, label_iters=24)
+    seg, n = detect_segments(sub, bstd, None, params)
+    cat = segment_catalog(sub, bstd, seg, n, params)
+    shape = moments_shape(cat)
+    xs = np.asarray(cat["x"])[np.asarray(cat["valid"])]
+    ys = np.asarray(cat["y"])[np.asarray(cat["valid"])]
+
+    assert int(n) >= 10
+    # every injected star matched within 1 px
+    for x, y, f, _ in stars:
+        d = np.hypot(xs - x, ys - y).min()
+        assert d < 1.0, f"star at {(x, y)} not found (min dist {d})"
+    # FWHM estimate in the right ballpark for the brightest sources
+    fw = np.asarray(shape["fwhm"])[np.asarray(cat["valid"])]
+    assert 1.5 < np.median(fw) < 5.5
+
+
+def test_aperture_photometry_recovers_flux(rng):
+    H = W = 128
+    sky = 100.0
+    stars = np.array([[40.3, 50.7, 2e4, 3.0], [90.2, 30.5, 5e4, 3.0]])
+    img = star_image((H, W), stars) + sky
+    img = rng.poisson(img).astype(np.float32)
+    bstd = jnp.full((H, W), np.sqrt(sky), jnp.float32)
+    sub = jnp.asarray(img) - sky
+
+    radii = [1.5 * 3.0, 3.0 * 3.0]  # 1.5 and 3 FWHM
+    flux, err = aperture_photometry(sub, bstd,
+                                    jnp.asarray(stars[:, 0]),
+                                    jnp.asarray(stars[:, 1]), radii)
+    flux = np.asarray(flux)
+    # large aperture captures most of the Moffat flux (beta=2.5 ~ 90%+)
+    for i, (x, y, f, _) in enumerate(stars):
+        assert flux[i, 1] > 0.85 * f
+        assert flux[i, 1] < 1.1 * f
+        assert flux[i, 0] < flux[i, 1]
+
+
+def test_satdet_finds_trail(rng):
+    H = W = 256
+    img = rng.normal(0.0, 5.0, (H, W)).astype(np.float32)
+    # diagonal-ish trail: col = 0.4*row + 30
+    for r in range(H):
+        c = int(0.4 * r + 30)
+        if 0 <= c < W:
+            img[r, c - 1:c + 2] += 120.0
+    params = SatDetParams(bin_factor=2, nsigma=8.0, trail_halfwidth=4)
+    m, n, snr = detect_trails(jnp.asarray(img), None, params)
+    m = np.asarray(m)
+    assert int(n) >= 1
+    # trail pixels covered
+    hits = 0
+    for r in range(0, H, 16):
+        c = int(0.4 * r + 30)
+        if 0 <= c < W:
+            hits += int(m[r, c])
+    assert hits >= 12
+    # mask should not cover most of the image
+    assert m.mean() < 0.2
+
+
+def test_satdet_no_false_positive(rng):
+    img = rng.normal(0.0, 5.0, (256, 256)).astype(np.float32)
+    m, n, snr = detect_trails(jnp.asarray(img), None,
+                              SatDetParams(bin_factor=2))
+    assert int(n) == 0
