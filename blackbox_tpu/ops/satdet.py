@@ -90,7 +90,9 @@ def detect_trails(image, mask_excl=None,
     mad = jnp.median(jnp.abs(B - med)) * 1.4826 + 1e-6
     Z = jnp.clip((B - med) / mad, 0.0, 8.0)   # winsorised significance map
 
-    results = []
+    from jax import lax
+    slopes_grid = jnp.linspace(-1.0, 1.0, p.n_slopes)
+    cand_v, cand_a, cand_b, cand_t = [], [], [], []
     for transpose in (False, True):
         Bt = Z.T if transpose else Z
         prof, nhit = _shear_profiles(Bt, p.n_slopes)
@@ -101,30 +103,30 @@ def detect_trails(image, mask_excl=None,
         # noise of the mean: the winsorised map has unit-ish sigma
         snr = line_mean * jnp.sqrt(nhit.astype(jnp.float32))
         snr = jnp.where(fill_ok, snr, 0.0)
-        results.append(snr)
 
-    snr_all = jnp.stack(results)                      # (2, A, Wb)
+        # peak picking with non-max suppression in a (5, 11) window
+        padded = jnp.pad(snr, ((2, 2), (5, 5)), constant_values=0)
+        local_max = lax.reduce_window(padded, -jnp.inf, lax.max,
+                                      (5, 11), (1, 1), "VALID")
+        is_peak = (snr >= local_max) & (snr > p.nsigma)
+        vals = jnp.where(is_peak, snr, 0.0).ravel()
+        v, i = jax.lax.top_k(vals, p.max_trails)
+        Wb = snr.shape[1]
+        cand_v.append(v)
+        cand_a.append(slopes_grid[i // Wb])
+        cand_b.append((i % Wb).astype(jnp.float32))
+        cand_t.append(jnp.full(p.max_trails, int(transpose), jnp.int32))
 
-    # peak picking with non-max suppression in a (5, 11) neighbourhood
-    from jax import lax
-    flat = snr_all
-    padded = jnp.pad(flat, ((0, 0), (2, 2), (5, 5)), constant_values=0)
-    local_max = lax.reduce_window(padded, -jnp.inf, lax.max,
-                                  (1, 5, 11), (1, 1, 1), "VALID")
-    is_peak = (flat >= local_max) & (flat > p.nsigma)
-
-    # take the top max_trails peaks
-    vals = jnp.where(is_peak, flat, 0.0).ravel()
-    top_v, top_i = jax.lax.top_k(vals, p.max_trails)
+    # merge the two orientations, keep the global top max_trails
+    all_v = jnp.concatenate(cand_v)
+    all_a = jnp.concatenate(cand_a)
+    all_b = jnp.concatenate(cand_b)
+    all_t = jnp.concatenate(cand_t)
+    top_v, sel = jax.lax.top_k(all_v, p.max_trails)
     n_trails = jnp.sum(top_v > 0)
-
-    # rasterise each detected line back at full resolution
-    A, Wb = flat.shape[1], flat.shape[2]
-    t_idx = top_i // (A * Wb)                          # orientation
-    a_idx = (top_i // Wb) % A
-    b_idx = top_i % Wb
-    slopes = jnp.linspace(-1.0, 1.0, p.n_slopes)[a_idx]
-    b0 = b_idx.astype(jnp.float32)
+    slopes = all_a[sel]
+    b0 = all_b[sel]
+    t_idx = all_t[sel]
 
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
