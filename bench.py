@@ -1,0 +1,87 @@
+"""Benchmark: full MeerLICHT-geometry frame, raw -> calibrated + catalog.
+
+Runs the jitted end-to-end reduce pipeline on one real TPU chip with a
+synthetic 16-channel 10560x10560 science frame and reports steady-state
+frames/sec.  The baseline is the north-star target from BASELINE.md
+(reference pipeline on its production CPUs needs minutes per frame; the
+driver's target is < 1 s/frame, so vs_baseline is frames/sec relative to
+1 frame/s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    t_setup = time.time()
+    import jax
+    import jax.numpy as jnp
+    from blackbox_tpu.core.geometry import MEERLICHT
+    from blackbox_tpu.config.defaults import ReductionSettings
+    from blackbox_tpu.pipeline.reduce import (
+        ReduceContext, calibrate_detector, extract_catalog)
+    from blackbox_tpu.ops.cosmics import LACosmicParams
+    from blackbox_tpu.ops.detection import DetectParams
+    from blackbox_tpu.synth import make_raw_science
+
+    geom = MEERLICHT
+    s = ReductionSettings(geometry=geom)
+    ctx = ReduceContext.from_settings(
+        s, "ML1",
+        lac_params=LACosmicParams(strip_rows=264),
+        det_params=DetectParams(max_sources=20000, label_iters=32),
+    )
+
+    rng = np.random.default_rng(12345)
+    raw, truth = make_raw_science(geom, rng, nstars=4000, ncosmics=800,
+                                  trail=True, nsat=20)
+    chan, osv, osh = geom.split_raw(raw)
+    args = (jax.device_put(jnp.asarray(chan)),
+            jax.device_put(jnp.asarray(osv)),
+            jax.device_put(jnp.asarray(osh)))
+    print(f"# setup {time.time() - t_setup:.1f}s on {jax.devices()[0]}",
+          file=sys.stderr)
+
+    def step(chan, osvert, oshori):
+        sci, mask_m, stats = calibrate_detector(
+            ctx, chan, osvert, oshori, None, None, None, None)
+        out = extract_catalog(ctx, sci, mask_m)
+        return {"nobjects": out["stats"]["nobjects"],
+                "ncosmics": stats["ncosmics"],
+                "seeing": out["stats"]["s_seeing_pix"],
+                "flux": out["cat"]["flux_ap"][:, -1],
+                "image_sum": jnp.sum(sci)}
+
+    fn = jax.jit(step)
+
+    t0 = time.time()
+    res = jax.block_until_ready(fn(*args))
+    t_compile = time.time() - t0
+    print(f"# first call (compile+run) {t_compile:.1f}s; "
+          f"nobjects={int(res['nobjects'])} ncosmics={int(res['ncosmics'])} "
+          f"seeing={float(res['seeing']):.2f}px", file=sys.stderr)
+
+    n_iter = 5
+    t0 = time.time()
+    for _ in range(n_iter):
+        res = fn(*args)
+    jax.block_until_ready(res)
+    dt = (time.time() - t0) / n_iter
+    fps = 1.0 / dt
+    print(f"# steady state {dt * 1e3:.1f} ms/frame", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "frames/sec/chip raw->catalog (10.5k^2 16-ch frame)",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 1.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
