@@ -88,4 +88,7 @@ def mini2back(mesh, out_shape, boxsize: int):
     ny, nx = mesh.shape
     Wy = jnp.asarray(_catmull_rom_matrix(H, ny, boxsize))
     Wx = jnp.asarray(_catmull_rom_matrix(W, nx, boxsize))
-    return Wy @ mesh @ Wx.T
+    # full-precision matmuls: the background must be sub-ADU accurate
+    # (bf16 MXU default would leave ~0.4% * sky-level errors)
+    up = jnp.matmul(Wy, mesh, precision="highest")
+    return jnp.matmul(up, Wx.T, precision="highest")

@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# A sitecustomize/env pair may pin JAX_PLATFORMS to a TPU plugin before
+# conftest runs; the config update wins over the captured env value.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
