@@ -55,6 +55,22 @@ def matched_filter(image, fwhm: float):
     return out[0, 0], jnp.sum(k ** 2)
 
 
+def label_segments(det, label_iters: int = 48):
+    """Label a boolean detection map into compact segment ids.
+
+    Returns (seg (H, W) with 0 background / 1..n sources ordered by the
+    raster position of each component's first pixel, n).
+    """
+    lab = label_components(det, iters=label_iters)        # flat idx + 1
+    H, W = det.shape
+    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W) + 1
+    is_root = det & (lab == idx)
+    order = jnp.cumsum(is_root.ravel().astype(jnp.int32))
+    comp_at = jnp.where(is_root.ravel(), order, 0)        # (H*W,)
+    seg = jnp.where(det, comp_at[jnp.maximum(lab - 1, 0)].reshape(H, W), 0)
+    return seg, order[-1]
+
+
 def detect_segments(image_bksub, bkg_std, excl_mask,
                     params: DetectParams = DetectParams()):
     """Threshold + label.  Returns (seg compact ids (H, W), n_sources).
@@ -71,16 +87,7 @@ def detect_segments(image_bksub, bkg_std, excl_mask,
     det = filt > p.nsigma * jnp.maximum(bkg_std, 1e-6)
     if excl_mask is not None:
         det = det & ~excl_mask
-
-    lab = label_components(det, iters=p.label_iters)      # flat idx + 1
-    H, W = det.shape
-    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W) + 1
-    is_root = det & (lab == idx)
-    order = jnp.cumsum(is_root.ravel().astype(jnp.int32))
-    comp_at = jnp.where(is_root.ravel(), order, 0)        # (H*W,)
-    seg = jnp.where(det, comp_at[jnp.maximum(lab - 1, 0)].reshape(H, W), 0)
-    n = order[-1]
-    return seg, n
+    return label_segments(det, p.label_iters)
 
 
 def segment_catalog(image_bksub, bkg_std, seg, n_sources,

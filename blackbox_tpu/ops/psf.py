@@ -1,0 +1,265 @@
+"""Spatially-varying PSF modelling + optimal PSF photometry on device.
+
+PSFEx replacement (reference consumes PSFEx via zogy: `_psf.fits` models
+read in /root/reference/buildref.py:3328-3366, sampled through
+`zogy.get_psf_ima` with poldeg / polzero / polscal semantics — SURVEY.md
+§2.4/§2.5).  The TPU formulation is one dense weighted least-squares over
+all star vignettes at once:
+
+    V[i, p]  ≈  Σ_k  B[i, k] · C[k, p]
+
+with ``V`` the (nstars, npix) flux-normalised vignettes and ``B`` the
+polynomial spatial basis evaluated at the star positions.  The normal
+equations are two matmuls and one (nbasis, nbasis) solve — MXU work, no
+per-star Python.  Outlier stars are removed by a fixed number of
+reweighting iterations (chi² clip), keeping the trace static.
+
+The resulting :class:`PSFModel` mirrors the PSFEx header contract
+(``poldeg``, ``polzero_*``, ``polscal_*``) so downstream consumers (ZOGY
+subtraction, A_swarp-style co-add clipping) sample it exactly like the
+reference samples `_psf.fits`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from blackbox_tpu.ops.stats import masked_median
+
+
+@dataclasses.dataclass(frozen=True)
+class PSFParams:
+    size: int = 25            # vignette / PSF stamp size (odd)
+    poldeg: int = 2           # spatial polynomial degree (PSFEx PSFVAR_DEGREES)
+    snr_min: float = 20.0     # star selection
+    elong_max: float = 1.5
+    niter: int = 3            # reweighting iterations (fixed, traced)
+    chi2_clip: float = 10.0   # reject stars with chi2/dof above this
+    sat_frac: float = 0.8     # peak above sat_frac*satlevel rejected by caller
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PSFModel:
+    """PSFEx-compatible spatially-varying PSF.
+
+    basis : (nbasis, size, size) polynomial coefficient images C[k]
+    polzero_x/y, polscal_x/y : position normalisation, PSFEx convention
+        t = (x - polzero_x) / polscal_x
+    poldeg : spatial degree; nbasis = (poldeg+1)(poldeg+2)/2
+    nstars : stars used in the fit;  chi2 : final reduced chi2
+    """
+
+    basis: jnp.ndarray
+    polzero_x: jnp.ndarray
+    polzero_y: jnp.ndarray
+    polscal_x: jnp.ndarray
+    polscal_y: jnp.ndarray
+    poldeg: int
+    nstars: jnp.ndarray
+    chi2: jnp.ndarray
+
+    def tree_flatten(self):
+        leaves = (self.basis, self.polzero_x, self.polzero_y,
+                  self.polscal_x, self.polscal_y, self.nstars, self.chi2)
+        return leaves, self.poldeg
+
+    @classmethod
+    def tree_unflatten(cls, poldeg, leaves):
+        b, zx, zy, sx, sy, n, c = leaves
+        return cls(b, zx, zy, sx, sy, poldeg, n, c)
+
+
+def poly_basis(tx, ty, poldeg: int):
+    """PSFEx ordering of the 2-D monomials: x^i y^j with i+j <= poldeg.
+
+    Order: 1, x, x², …, y, xy, …  (j outer, i inner — PSFEx GROUP order).
+    Returns (..., nbasis).
+    """
+    terms = []
+    for j in range(poldeg + 1):
+        for i in range(poldeg + 1 - j):
+            terms.append((tx ** i) * (ty ** j))
+    return jnp.stack(terms, axis=-1)
+
+
+def n_basis(poldeg: int) -> int:
+    return (poldeg + 1) * (poldeg + 2) // 2
+
+
+def extract_vignettes(image, xs, ys, size: int):
+    """Centred cutouts with integer-pixel placement.
+
+    Returns (vignettes (N, size, size), dx, dy) where dx/dy are the
+    sub-pixel offsets of the true centre from the stamp centre pixel.
+    """
+    H, W = image.shape
+    half = size // 2
+    xi = jnp.round(xs).astype(jnp.int32)
+    yi = jnp.round(ys).astype(jnp.int32)
+    x0 = jnp.clip(xi - half, 0, W - size)
+    y0 = jnp.clip(yi - half, 0, H - size)
+
+    def one(y0i, x0i):
+        return jax.lax.dynamic_slice(image, (y0i, x0i), (size, size))
+
+    vig = jax.vmap(one)(y0, x0)
+    cx = x0.astype(jnp.float32) + half
+    cy = y0.astype(jnp.float32) + half
+    return vig, xs - cx, ys - cy
+
+
+def _recenter(vig, dx, dy):
+    """Shift each vignette by (-dx, -dy) with bilinear interpolation so the
+    star centroid lands on the central pixel (PSF built in the star frame)."""
+    N, S, _ = vig.shape
+    g = jnp.arange(S, dtype=jnp.float32)
+
+    def one(v, dxi, dyi):
+        ys = g + dyi
+        xs = g + dxi
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, S - 2)
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, S - 2)
+        fy = jnp.clip(ys - y0, 0.0, 1.0)
+        fx = jnp.clip(xs - x0, 0.0, 1.0)
+        v00 = v[y0][:, x0]
+        v01 = v[y0][:, x0 + 1]
+        v10 = v[y0 + 1][:, x0]
+        v11 = v[y0 + 1][:, x0 + 1]
+        return ((1 - fy)[:, None] * ((1 - fx) * v00 + fx * v01)
+                + fy[:, None] * ((1 - fx) * v10 + fx * v11))
+
+    return jax.vmap(one)(vig, dx, dy)
+
+
+def build_psf(image_bksub, bkg_std, cat, image_shape,
+              params: PSFParams = PSFParams()):
+    """Fit the spatially-varying PSF from a fixed-capacity catalog.
+
+    cat must hold x, y, flux (e.g. large-aperture), snr, elong, valid —
+    all (N,).  Returns a :class:`PSFModel`.
+    """
+    p = params
+    H, W = image_shape
+    xs, ys = cat["x"], cat["y"]
+    star = (cat["valid"]
+            & (cat["snr"] > p.snr_min)
+            & (cat["elong"] < p.elong_max)
+            & (xs > p.size) & (xs < W - p.size)
+            & (ys > p.size) & (ys < H - p.size))
+
+    vig, dx, dy = extract_vignettes(image_bksub, xs, ys, p.size)
+    var, _, _ = extract_vignettes(bkg_std, xs, ys, p.size)
+    var = var ** 2 + jnp.maximum(vig, 0.0)          # bkg + Poisson [e-]
+    vig = _recenter(vig, dx, dy)
+
+    flux = jnp.sum(vig, axis=(1, 2))
+    star = star & (flux > 0)
+    fsafe = jnp.where(flux > 0, flux, 1.0)
+    Vn = vig / fsafe[:, None, None]                  # flux-normalised
+    # per-pixel variance of the normalised vignette
+    Wn = fsafe[:, None, None] ** 2 / jnp.maximum(var, 1e-9)  # 1/var_norm
+
+    # spatial basis at star positions, PSFEx normalisation
+    zx, zy = 0.5 * (W - 1), 0.5 * (H - 1)
+    sx, sy = 0.5 * W, 0.5 * H
+    B = poly_basis((xs - zx) / sx, (ys - zy) / sy, p.poldeg)  # (N, K)
+
+    npix = p.size * p.size
+    V = Vn.reshape(-1, npix)
+    K = B.shape[-1]
+
+    def solve(w_star):
+        """Weighted LSQ with per-star scalar weights (median pixel weight
+        × selection mask); returns (C (K, npix), chi2 per star)."""
+        w = w_star[:, None]
+        A = jnp.matmul(B.T * w.T, B, precision="highest")      # (K, K)
+        A = A + 1e-6 * jnp.eye(K, dtype=A.dtype) * (
+            jnp.trace(A) / K + 1e-20)
+        rhs = jnp.matmul(B.T * w.T, V, precision="highest")    # (K, npix)
+        C = jnp.linalg.solve(A, rhs)
+        resid = V - jnp.matmul(B, C, precision="highest")
+        chi2 = jnp.sum(resid.reshape(-1, npix) ** 2
+                       * Wn.reshape(-1, npix), axis=1) / npix
+        return C, chi2
+
+    # uniform per-star weights: vignettes are flux-normalised, so every
+    # selected star constrains the unit-flux PSF equally
+    w0 = jnp.where(star, 1.0, 0.0)
+
+    def body(_, w):
+        C, chi2 = solve(w)
+        med = masked_median(chi2, w <= 0, axis=0)
+        keep = chi2 < p.chi2_clip * jnp.maximum(med, 1e-6)
+        return jnp.where(star & keep, w0, 0.0)
+
+    w = jax.lax.fori_loop(0, p.niter - 1, body, w0)
+    C, chi2 = solve(w)
+
+    basis = C.reshape(K, p.size, p.size)
+    used = w > 0
+    return PSFModel(
+        basis=basis,
+        polzero_x=jnp.float32(zx), polzero_y=jnp.float32(zy),
+        polscal_x=jnp.float32(sx), polscal_y=jnp.float32(sy),
+        poldeg=p.poldeg,
+        nstars=jnp.sum(used),
+        chi2=masked_median(chi2, ~used, axis=0))
+
+
+def psf_at(model: PSFModel, x, y, clip: bool = True):
+    """Sample the PSF image at position(s); normalised to unit sum.
+
+    x, y scalar -> (S, S); (N,) -> (N, S, S).
+    """
+    tx = (jnp.asarray(x, jnp.float32) - model.polzero_x) / model.polscal_x
+    ty = (jnp.asarray(y, jnp.float32) - model.polzero_y) / model.polscal_y
+    B = poly_basis(tx, ty, model.poldeg)             # (..., K)
+    psf = jnp.tensordot(B, model.basis, axes=[[-1], [0]])
+    if clip:
+        psf = jnp.maximum(psf, 0.0)
+    s = jnp.sum(psf, axis=(-2, -1), keepdims=True)
+    return psf / jnp.maximum(s, 1e-9)
+
+
+def psf_fwhm(psf_img):
+    """FWHM from the second moments of a PSF stamp (Gaussian equiv)."""
+    S = psf_img.shape[-1]
+    g = jnp.arange(S, dtype=jnp.float32)
+    w = jnp.maximum(psf_img, 0.0)
+    tot = jnp.sum(w, axis=(-2, -1))
+    xc = jnp.sum(w * g[None, :], axis=(-2, -1)) / tot
+    yc = jnp.sum(w * g[:, None], axis=(-2, -1)) / tot
+    x2 = jnp.sum(w * (g[None, :] - xc[..., None, None]) ** 2,
+                 axis=(-2, -1)) / tot
+    y2 = jnp.sum(w * (g[:, None] - yc[..., None, None]) ** 2,
+                 axis=(-2, -1)) / tot
+    return 2.0 * jnp.sqrt(jnp.log(2.0) * jnp.maximum(x2 + y2, 1e-9))
+
+
+def psf_photometry(image_bksub, bkg_std, model: PSFModel, xs, ys,
+                   window: int | None = None):
+    """Optimal (matched-filter) PSF flux at given positions.
+
+    F = Σ P·D/σ² / Σ P²/σ²,  σ_F = (Σ P²/σ²)^(-1/2)
+    (Naylor 1998; the zogy ``flux_opt`` the reference's catalogs carry).
+    Returns (flux, fluxerr) of shape (N,).
+    """
+    S = model.basis.shape[-1] if window is None else window
+    vig, dx, dy = extract_vignettes(image_bksub, xs, ys, S)
+    sig, _, _ = extract_vignettes(bkg_std, xs, ys, S)
+
+    P = psf_at(model, xs, ys)                        # (N, S, S)
+    P = _recenter(P, -dx, -dy)                       # shift PSF onto star
+    s = jnp.sum(P, axis=(1, 2), keepdims=True)
+    P = P / jnp.maximum(s, 1e-9)
+
+    var = sig ** 2 + jnp.maximum(vig, 0.0)
+    ivar = 1.0 / jnp.maximum(var, 1e-9)
+    den = jnp.sum(P * P * ivar, axis=(1, 2))
+    num = jnp.sum(P * vig * ivar, axis=(1, 2))
+    flux = num / jnp.maximum(den, 1e-12)
+    return flux, 1.0 / jnp.sqrt(jnp.maximum(den, 1e-12))

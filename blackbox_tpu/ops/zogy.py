@@ -1,0 +1,176 @@
+"""ZOGY optimal image subtraction as a pure-FFT device program.
+
+The reference gets D/S/Scorr from the external zogy package's
+``optimal_subtraction`` (called at /root/reference/blackbox.py:2350,2460;
+pyfftw + C binaries underneath — SURVEY.md §2.4/§2.5).  Here the full
+statistic chain (Zackay, Ofek & Gal-Yam 2016, ApJ 830:27; PAPERS.md) is
+``jnp.fft.rfft2`` arithmetic on device:
+
+    D̂  = (f_r P̂_r N̂ − f_n P̂_n R̂) / √(σ_n² f_r² |P̂_r|² + σ_r² f_n² |P̂_n|²)
+    Ŝ  = F_D P̂_D* D̂
+    Scorr = S / √V[S],   V[S] = k_n²⊗V_N + k_r²⊗V_R + V_ast
+
+with the source-noise and astrometric-variance corrections of §3.3 of the
+paper.  PSFs enter as small stamps (PSFModel samples) and are embedded
+into full-frame OTFs.  Everything is float32 except the frequency-domain
+accumulations, which XLA keeps in complex64.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ZogyParams:
+    eps: float = 1e-12        # denominator floor
+    dx: float = 0.25          # astrometric rms [pix] between new and ref
+    dy: float = 0.25
+    fratio_floor: float = 1e-3
+
+
+def psf_to_otf(psf_stamp, shape):
+    """Embed a centred (S, S) PSF stamp into an (H, W) frame and rfft2.
+
+    The stamp centre pixel moves to (0, 0) so the OTF has zero phase for
+    a symmetric PSF.
+    """
+    H, W = shape
+    S = psf_stamp.shape[-1]
+    pad = jnp.zeros(shape, psf_stamp.dtype)
+    pad = pad.at[:S, :S].set(psf_stamp)
+    pad = jnp.roll(pad, (-(S // 2), -(S // 2)), axis=(0, 1))
+    return jnp.fft.rfft2(pad)
+
+
+def _freq_grids(shape):
+    H, W = shape
+    fy = jnp.fft.fftfreq(H).astype(jnp.float32)          # (H,)
+    fx = jnp.fft.rfftfreq(W).astype(jnp.float32)         # (W//2+1,)
+    return fy, fx
+
+
+def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
+                  fn=1.0, fr=1.0, var_new=None, var_ref=None,
+                  params: ZogyParams = ZogyParams()):
+    """Optimal subtraction of a registered (ref -> new grid) image pair.
+
+    new, ref : (H, W) background-subtracted images [e-]
+    psf_new, psf_ref : (S, S) unit-sum PSF stamps on the same grid
+    sn, sr   : scalar background STDs [e-]
+    fn, fr   : flux zeropoint scalings (fr/fn = flux ratio ref/new)
+    var_new, var_ref : optional (H, W) variance maps for the Scorr
+        source-noise correction (defaults to the scalar backgrounds)
+
+    Returns dict with D (difference, new-image flux units), S, Scorr,
+    Fpsf/Fpsferr (PSF flux + error of a transient at each pixel), and the
+    difference PSF stamp ``psf_D`` (same size as psf_new) with its flux
+    normalisation F_D.
+    """
+    p = params
+    shape = new.shape
+    H, W = shape
+
+    N_hat = jnp.fft.rfft2(new)
+    R_hat = jnp.fft.rfft2(ref)
+    Pn = psf_to_otf(psf_new, shape)
+    Pr = psf_to_otf(psf_ref, shape)
+
+    fn = jnp.float32(fn)
+    fr = jnp.maximum(jnp.float32(fr), p.fratio_floor)
+    sn = jnp.maximum(jnp.float32(sn), 1e-6)
+    sr = jnp.maximum(jnp.float32(sr), 1e-6)
+
+    Pn2 = jnp.abs(Pn) ** 2
+    Pr2 = jnp.abs(Pr) ** 2
+    den = sn ** 2 * fr ** 2 * Pr2 + sr ** 2 * fn ** 2 * Pn2 + p.eps
+    sq = jnp.sqrt(den)
+
+    # difference image (eq. 13) and its PSF (eq. 14-15)
+    D_hat = (fr * Pr * N_hat - fn * Pn * R_hat) / sq
+    F_D = fn * fr / jnp.sqrt(sn ** 2 * fr ** 2 + sr ** 2 * fn ** 2)
+    P_D_hat = fn * fr * Pn * Pr / (F_D * sq)
+    D = jnp.fft.irfft2(D_hat, shape)
+
+    # score image S = F_D · (D ⊛ P_D-reversed)  (eq. 16-17)
+    S_hat = F_D * jnp.conj(P_D_hat) * D_hat
+    S = jnp.fft.irfft2(S_hat, shape)
+
+    # matched-filter kernels k_n, k_r (eq. 26-29)
+    kn_hat = fn * fr ** 2 * jnp.conj(Pn) * Pr2 / den
+    kr_hat = fr * fn ** 2 * jnp.conj(Pr) * Pn2 / den
+    kn2_hat = jnp.fft.rfft2(jnp.fft.irfft2(kn_hat, shape) ** 2)
+    kr2_hat = jnp.fft.rfft2(jnp.fft.irfft2(kr_hat, shape) ** 2)
+
+    # variance maps are clamped: the float32 FFT loses ~7 digits, so a
+    # handful of huge sentinel pixels would corrupt V[S] frame-wide
+    vcap = 1e4 * (sn ** 2 + sr ** 2)
+    Vn = (sn ** 2 * jnp.ones(shape, jnp.float32) if var_new is None
+          else jnp.clip(var_new, 0.0, vcap))
+    Vr = (sr ** 2 * jnp.ones(shape, jnp.float32) if var_ref is None
+          else jnp.clip(var_ref, 0.0, vcap))
+    V_Sn = jnp.fft.irfft2(kn2_hat * jnp.fft.rfft2(Vn), shape)
+    V_Sr = jnp.fft.irfft2(kr2_hat * jnp.fft.rfft2(Vr), shape)
+
+    # astrometric variance (eq. 30-33): gradients of S_n = k_n ⊗ N,
+    # S_r = k_r ⊗ R, scaled by the registration rms
+    fy, fx = _freq_grids(shape)
+    two_pi_i = 2j * jnp.pi
+    Sn_hat = kn_hat * N_hat
+    Sr_hat = kr_hat * R_hat
+    dSn_dy = jnp.fft.irfft2(two_pi_i * fy[:, None] * Sn_hat, shape)
+    dSn_dx = jnp.fft.irfft2(two_pi_i * fx[None, :] * Sn_hat, shape)
+    dSr_dy = jnp.fft.irfft2(two_pi_i * fy[:, None] * Sr_hat, shape)
+    dSr_dx = jnp.fft.irfft2(two_pi_i * fx[None, :] * Sr_hat, shape)
+    V_ast = (p.dx ** 2 * (dSn_dx ** 2 + dSr_dx ** 2)
+             + p.dy ** 2 * (dSn_dy ** 2 + dSr_dy ** 2))
+
+    V_S = V_Sn + V_Sr + V_ast
+    Scorr = S / jnp.sqrt(jnp.maximum(V_S, p.eps))
+
+    # PSF-flux translation (eq. 41-42): F_psf = S / F_S.  The sum runs
+    # over the FULL spectrum; the rfft half-plane stores interior
+    # columns once, so they count twice (DC column, and the Nyquist
+    # column for even W, appear exactly once).
+    Wr = Pn2.shape[-1]
+    colw = jnp.full((Wr,), 2.0, jnp.float32)
+    colw = colw.at[0].set(1.0)
+    if W % 2 == 0:
+        colw = colw.at[-1].set(1.0)
+    F_S = jnp.sum(colw * fn ** 2 * fr ** 2 * Pn2 * Pr2 / den) / (H * W)
+    F_S = jnp.maximum(F_S, p.eps)
+    Fpsf = S / F_S
+    Fpsferr = jnp.sqrt(jnp.maximum(V_S, p.eps)) / F_S
+
+    # difference PSF stamp for thumbnail/vetting use
+    Spsf = psf_new.shape[-1]
+    psf_D_full = jnp.fft.irfft2(P_D_hat, shape)
+    psf_D = jnp.roll(psf_D_full, (Spsf // 2, Spsf // 2),
+                     axis=(0, 1))[:Spsf, :Spsf]
+
+    return {"D": D, "S": S, "Scorr": Scorr,
+            "Fpsf": Fpsf, "Fpsferr": Fpsferr,
+            "psf_D": psf_D, "F_D": F_D, "F_S": F_S}
+
+
+def flux_ratio(flux_new, flux_ref, snr_new, snr_ref, valid,
+               snr_min: float = 20.0):
+    """Clipped-median flux ratio fr/fn from matched PSF-star fluxes.
+
+    The reference's ``get_fratio`` (zogy; consumed buildref.py:2782-3014)
+    matches PSFEx stars between images and takes a clipped mean of the
+    optimal-flux ratios; same statistic here with a median + MAD clip.
+    """
+    ok = valid & (snr_new > snr_min) & (snr_ref > snr_min) \
+        & (flux_new > 0) & (flux_ref > 0)
+    r = jnp.where(ok, flux_new / jnp.maximum(flux_ref, 1e-9), jnp.nan)
+    med = jnp.nanmedian(r)
+    mad = jnp.nanmedian(jnp.abs(r - med)) * 1.4826
+    keep = ok & (jnp.abs(r - med) < 3.0 * jnp.maximum(mad, 1e-6))
+    r2 = jnp.where(keep, r, jnp.nan)
+    fratio = jnp.nanmedian(r2)
+    fstd = jnp.nanstd(r2)
+    return (jnp.nan_to_num(fratio, nan=1.0),
+            jnp.nan_to_num(fstd, nan=0.0), jnp.sum(keep))

@@ -40,6 +40,8 @@ from blackbox_tpu.ops.background import background_mesh, mini2back
 from blackbox_tpu.ops.detection import (
     DetectParams, detect_segments, segment_catalog, moments_shape)
 from blackbox_tpu.ops.photometry import aperture_photometry
+from blackbox_tpu.ops.psf import (
+    PSFParams, build_psf, psf_at, psf_fwhm, psf_photometry)
 from blackbox_tpu.ops.stats import masked_median
 
 
@@ -55,6 +57,8 @@ class ReduceContext:
     lac_params: LACosmicParams = LACosmicParams()
     sat_params: SatDetParams = SatDetParams()
     det_params: DetectParams = DetectParams()
+    psf_params: PSFParams = PSFParams()
+    fit_psf: bool = True
     bkg_boxsize: int = 256
     bkg_filtersize: int = 3
     apphot_radii: tuple = (2.0, 4.5, 15.0)   # pixels
@@ -203,8 +207,23 @@ def extract_catalog(ctx: ReduceContext, sci, mask_m):
         "bkg_median": jnp.median(mesh),
         "bkg_std": jnp.median(stdm),
     }
-    return {"bkg": bkg, "bkg_std": bstd, "cat": cat, "stats": stats,
-            "seg_nsources": n}
+    out = {"bkg": bkg, "bkg_std": bstd, "cat": cat, "stats": stats,
+           "seg_nsources": n}
+
+    # spatially-varying PSF model + optimal PSF fluxes (PSFEx / zogy
+    # flux_opt equivalents — SURVEY.md §2.4/§2.5)
+    if ctx.fit_psf:
+        model = build_psf(sub, bstd, cat, sci.shape, ctx.psf_params)
+        fpsf, fpsf_err = psf_photometry(sub, bstd, model,
+                                        cat["x"], cat["y"])
+        cat["flux_psf"] = fpsf
+        cat["fluxerr_psf"] = fpsf_err
+        cen = psf_at(model, 0.5 * sci.shape[1], 0.5 * sci.shape[0])
+        stats["psf_nstars"] = model.nstars
+        stats["psf_chi2"] = model.chi2
+        stats["psf_fwhm_pix"] = psf_fwhm(cen[None])[0]
+        out["psf"] = model
+    return out
 
 
 def make_reduce_fn(ctx: ReduceContext, with_catalog: bool = True):

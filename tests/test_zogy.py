@@ -1,0 +1,120 @@
+import numpy as np
+import jax.numpy as jnp
+
+from blackbox_tpu.ops.zogy import zogy_subtract, flux_ratio, ZogyParams
+from blackbox_tpu.ops.transients import (
+    TransientParams, extract_transients, transient_stats)
+from blackbox_tpu.synth.generator import star_image
+
+
+def _gauss_psf(size, fwhm):
+    m = star_image((size, size), [[size // 2, size // 2, 1.0, fwhm]],
+                   moffat_beta=20.0)      # beta->inf ~ Gaussian core
+    return (m / m.sum()).astype(np.float32)
+
+
+def _scene(rng, H=256, W=256, sky_n=50.0, sky_r=50.0,
+           fwhm_n=3.2, fwhm_r=2.6, nstars=15):
+    """Common star field rendered with two different PSFs + noise."""
+    xs = rng.uniform(24, W - 24, nstars)
+    ys = rng.uniform(24, H - 24, nstars)
+    fl = np.exp(rng.uniform(np.log(5e3), np.log(6e4), nstars))
+    stars_n = np.stack([xs, ys, fl, np.full(nstars, fwhm_n)], 1)
+    stars_r = np.stack([xs, ys, fl, np.full(nstars, fwhm_r)], 1)
+    base_n = star_image((H, W), stars_n, moffat_beta=20.0)
+    base_r = star_image((H, W), stars_r, moffat_beta=20.0)
+    new = rng.poisson(base_n + sky_n).astype(np.float32) - sky_n
+    ref = rng.poisson(base_r + sky_r).astype(np.float32) - sky_r
+    return new, ref, np.sqrt(sky_n), np.sqrt(sky_r)
+
+
+def test_zogy_cancels_common_stars(rng):
+    new, ref, sn, sr = _scene(rng)
+    out = zogy_subtract(jnp.asarray(new), jnp.asarray(ref),
+                        jnp.asarray(_gauss_psf(25, 3.2)),
+                        jnp.asarray(_gauss_psf(25, 2.6)),
+                        sn, sr)
+    scorr = np.asarray(out["Scorr"])
+    assert np.isfinite(scorr).all()
+    # Scorr is a unit-variance statistic in the background
+    assert 0.7 < np.std(scorr) < 1.6, np.std(scorr)
+    # common stars cancel: no |Scorr| >= 6 peaks (a couple of pixels of
+    # Poisson leakage on the brightest stars is acceptable)
+    assert np.sum(np.abs(scorr) > 6.0) <= 5, np.sum(np.abs(scorr) > 6.0)
+
+
+def test_zogy_detects_transient_and_flux(rng):
+    new, ref, sn, sr = _scene(rng)
+    tf, tx, ty = 3.0e4, 71.3, 140.6
+    new = new + star_image(new.shape, [[tx, ty, tf, 3.2]],
+                           moffat_beta=20.0).astype(np.float32)
+    out = zogy_subtract(jnp.asarray(new), jnp.asarray(ref),
+                        jnp.asarray(_gauss_psf(25, 3.2)),
+                        jnp.asarray(_gauss_psf(25, 2.6)),
+                        sn, sr)
+    cat, n = extract_transients(out, params=TransientParams())
+    assert int(n) >= 1
+    x = np.asarray(cat["x"]); y = np.asarray(cat["y"])
+    v = np.asarray(cat["valid"])
+    d = np.where(v, np.hypot(x - tx, y - ty), np.inf)
+    i = int(np.argmin(d))
+    assert d[i] < 1.0, d.min()
+    assert int(np.asarray(cat["sign"])[i]) == 1
+    # PSF flux within 5 sigma of truth (Poisson + bkg noise)
+    fp = float(np.asarray(cat["flux_psf"])[i])
+    fe = float(np.asarray(cat["fluxerr_psf"])[i])
+    assert abs(fp - tf) < 5 * max(fe, 1.0), (fp, tf, fe)
+    # flux accurate to a few percent
+    assert abs(fp / tf - 1.0) < 0.05
+
+    st = transient_stats(cat, n)
+    assert int(st["t_npos"]) >= 1
+
+
+def test_zogy_negative_transient(rng):
+    new, ref, sn, sr = _scene(rng)
+    ref = ref + star_image(ref.shape, [[200.0, 60.0, 2.5e4, 2.6]],
+                           moffat_beta=20.0).astype(np.float32)
+    out = zogy_subtract(jnp.asarray(new), jnp.asarray(ref),
+                        jnp.asarray(_gauss_psf(25, 3.2)),
+                        jnp.asarray(_gauss_psf(25, 2.6)),
+                        sn, sr)
+    cat, n = extract_transients(out)
+    x = np.asarray(cat["x"]); y = np.asarray(cat["y"])
+    v = np.asarray(cat["valid"])
+    d = np.where(v, np.hypot(x - 200.0, y - 60.0), np.inf)
+    i = int(np.argmin(d))
+    assert d[i] < 1.5
+    assert int(np.asarray(cat["sign"])[i]) == -1
+    assert float(np.asarray(cat["flux_psf"])[i]) < 0
+
+
+def test_zogy_mask_rejection(rng):
+    from blackbox_tpu.core import maskbits
+    new, ref, sn, sr = _scene(rng)
+    new = new + star_image(new.shape, [[100.0, 100.0, 5e4, 3.2]],
+                           moffat_beta=20.0).astype(np.float32)
+    mask = np.zeros(new.shape, np.uint8)
+    mask[90:110, 90:110] = maskbits.SATURATED
+    out = zogy_subtract(jnp.asarray(new), jnp.asarray(ref),
+                        jnp.asarray(_gauss_psf(25, 3.2)),
+                        jnp.asarray(_gauss_psf(25, 2.6)),
+                        sn, sr)
+    cat, n = extract_transients(out, mask_new=jnp.asarray(mask))
+    x = np.asarray(cat["x"]); y = np.asarray(cat["y"])
+    v = np.asarray(cat["valid"])
+    d = np.where(v, np.hypot(x - 100.0, y - 100.0), np.inf)
+    assert d.min() > 5.0      # masked transient does not appear
+
+
+def test_flux_ratio_clipped_median():
+    n = 64
+    fn = np.full(n, 2000.0); fr = np.full(n, 1000.0)
+    fn[:5] = 1e6                      # outliers
+    snr = np.full(n, 50.0)
+    valid = np.ones(n, bool)
+    r, std, nused = flux_ratio(jnp.asarray(fn), jnp.asarray(fr),
+                               jnp.asarray(snr), jnp.asarray(snr),
+                               jnp.asarray(valid))
+    assert abs(float(r) - 2.0) < 1e-3
+    assert int(nused) >= n - 5
