@@ -297,10 +297,25 @@ _TFORM = {
 
 
 def _write_table_hdu(fh, columns: dict, header: Header):
+    """Binary table HDU.  A column given as a *list of bytes/uint8
+    arrays* becomes a variable-length '1PB(max)' column with a heap
+    (the CFITSIO tile-compression convention needs this)."""
     names = list(columns.keys())
     arrs = []
     tforms = []
+    var_cols = {}
     for n in names:
+        if isinstance(columns[n], list) and columns[n] and \
+                isinstance(columns[n][0], (bytes, bytearray, np.ndarray)) \
+                and (isinstance(columns[n][0], (bytes, bytearray))
+                     or np.asarray(columns[n][0]).dtype == np.uint8):
+            rows = [np.frombuffer(bytes(r), np.uint8) if
+                    isinstance(r, (bytes, bytearray)) else
+                    np.asarray(r, np.uint8) for r in columns[n]]
+            var_cols[n] = rows
+            arrs.append(None)
+            tforms.append(f"1PB({max((len(r) for r in rows), default=0)})")
+            continue
         a = np.asarray(columns[n])
         if a.dtype.kind in "U S":
             width = a.dtype.itemsize // (4 if a.dtype.kind == "U" else 1)
@@ -314,12 +329,26 @@ def _write_table_hdu(fh, columns: dict, header: Header):
         else:
             arrs.append(a)
             tforms.append(f"1{_TFORM[a.dtype]}")
-    nrows = len(arrs[0]) if arrs else 0
+    nrows = 0
+    for n, a in zip(names, arrs):
+        nrows = max(nrows, len(var_cols[n]) if a is None else len(a))
+
+    # heap layout for variable-length columns: (nelem, offset) pairs
+    heap = bytearray()
+    var_desc = {}
+    for n, rows in var_cols.items():
+        desc = np.zeros((nrows, 2), ">i4")
+        for i, r in enumerate(rows):
+            desc[i] = (len(r), len(heap))
+            heap.extend(r.tobytes())
+        var_desc[n] = desc
 
     # build the row-packed recarray (big-endian)
     fields = []
     for n, a in zip(names, arrs):
-        if a.dtype.kind == "S":
+        if a is None:
+            fields.append((n, ">i4", (2,)))
+        elif a.dtype.kind == "S":
             fields.append((n, a.dtype))
         elif a.dtype == np.bool_:
             fields.append((n, "S1"))
@@ -329,7 +358,9 @@ def _write_table_hdu(fh, columns: dict, header: Header):
             fields.append((n, a.dtype.newbyteorder(">")))
     rec = np.zeros(nrows, dtype=fields)
     for n, a in zip(names, arrs):
-        if a.dtype == np.bool_:
+        if a is None:
+            rec[n] = var_desc[n]
+        elif a.dtype == np.bool_:
             rec[n] = np.where(a, b"T", b"F")
         else:
             rec[n] = a
@@ -340,7 +371,7 @@ def _write_table_hdu(fh, columns: dict, header: Header):
         _card("NAXIS", 2),
         _card("NAXIS1", rec.dtype.itemsize),
         _card("NAXIS2", nrows),
-        _card("PCOUNT", 0),
+        _card("PCOUNT", len(heap)),
         _card("GCOUNT", 1),
         _card("TFIELDS", len(names)),
     ]
@@ -348,7 +379,7 @@ def _write_table_hdu(fh, columns: dict, header: Header):
         cards.append(_card(f"TTYPE{i + 1}", n))
         cards.append(_card(f"TFORM{i + 1}", tf))
     fh.write(_header_bytes(header, cards))
-    raw = rec.tobytes()
+    raw = rec.tobytes() + bytes(heap)
     fh.write(raw)
     fh.write(b"\x00" * _pad(len(raw)))
 
@@ -406,6 +437,10 @@ def _read_table_data(fh, h):
     for i in range(1, nf + 1):
         name = str(h[f"TTYPE{i}"]).strip()
         tf = str(h[f"TFORM{i}"]).strip()
+        if "P" in tf:                       # variable-length, e.g. 1PB(n)
+            fields.append((name, ">i4", (2,)))
+            names.append((name, "P", tf[tf.index("P") + 1]))
+            continue
         cnt = int(tf[:-1]) if tf[:-1] else 1
         code = tf[-1]
         base = {"E": ">f4", "D": ">f8", "I": ">i2", "J": ">i4",
@@ -418,12 +453,20 @@ def _read_table_data(fh, h):
             fields.append((name, base))
         names.append((name, code, cnt))
     raw = fh.read(nrow * rowlen)
-    fh.read(_pad(nrow * rowlen + h.get("PCOUNT", 0)))
+    pcount = h.get("PCOUNT", 0)
+    heap = fh.read(pcount) if pcount else b""
+    fh.read(_pad(nrow * rowlen + pcount))
     rec = np.frombuffer(raw, dtype=fields, count=nrow)
     out = {}
     for name, code, cnt in names:
         a = rec[name]
-        if code == "L":
+        if code == "P":
+            rows = []
+            for nelem, off in a.astype("=i4"):
+                rows.append(np.frombuffer(
+                    heap[off:off + nelem], np.uint8))
+            out[name] = rows
+        elif code == "L":
             out[name] = a == b"T"
         elif code == "A":
             out[name] = np.char.decode(a, "ascii")
