@@ -29,6 +29,13 @@ def sun_radec(mjd):
     return ra, dec
 
 
+def sun_distance_au(mjd):
+    """Earth-Sun distance [au] (low-precision series)."""
+    n = np.asarray(mjd, np.float64) - 51544.5
+    g = np.radians((357.528 + 0.9856003 * n) % 360.0)
+    return 1.00014 - 0.01671 * np.cos(g) - 0.00014 * np.cos(2 * g)
+
+
 def moon_radec(mjd):
     """Geocentric RA/DEC of the Moon [deg] (truncated series, ~0.3 deg)."""
     T = (np.asarray(mjd, np.float64) - 51544.5) / 36525.0

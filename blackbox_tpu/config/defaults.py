@@ -53,6 +53,7 @@ class ReductionSettings(Settings):
     """Per-frame reduction settings (reference set_blackbox.py parity)."""
 
     geometry: CCDGeometry = MEERLICHT
+    pixscale: float = 0.5642       # [arcsec/pix] (set_zogy contract)
 
     # reduction step switches (set_blackbox.py:19-42)
     img_reduce: bool = True

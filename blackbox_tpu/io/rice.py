@@ -255,6 +255,9 @@ def write_rice(path: str, data: np.ndarray, header: Header | None = None,
     cols = {"COMPRESSED_DATA": comp,
             "ZSCALE": np.asarray(zscales, np.float64),
             "ZZERO": np.asarray(zzeros, np.float64)}
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     with open(path, "wb") as fh:
         from blackbox_tpu.io.fits import _write_image_hdu, _write_table_hdu
         _write_image_hdu(fh, None, Header(), primary=True, extend=True)

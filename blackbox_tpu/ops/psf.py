@@ -252,14 +252,25 @@ def psf_photometry(image_bksub, bkg_std, model: PSFModel, xs, ys,
     vig, dx, dy = extract_vignettes(image_bksub, xs, ys, S)
     sig, _, _ = extract_vignettes(bkg_std, xs, ys, S)
 
+    # recenter the DATA with the same bilinear shift used on the
+    # vignettes that built the model: both then carry identical
+    # interpolation smoothing, so the matched-filter scale is unbiased
+    # (recentring the PSF instead would smooth it twice -> % -level
+    # flux-scale errors)
+    vig = _recenter(vig, dx, dy)
+    sig = _recenter(sig, dx, dy)
     P = psf_at(model, xs, ys)                        # (N, S, S)
-    P = _recenter(P, -dx, -dy)                       # shift PSF onto star
-    s = jnp.sum(P, axis=(1, 2), keepdims=True)
-    P = P / jnp.maximum(s, 1e-9)
 
-    var = sig ** 2 + jnp.maximum(vig, 0.0)
+    # background-only variance in the weights: including the source's
+    # own Poisson noise correlates weights with data and biases bright
+    # stars low by ~1-3% (flux-dependent — poisons the zeropoint)
+    var = sig ** 2
     ivar = 1.0 / jnp.maximum(var, 1e-9)
     den = jnp.sum(P * P * ivar, axis=(1, 2))
     num = jnp.sum(P * vig * ivar, axis=(1, 2))
     flux = num / jnp.maximum(den, 1e-12)
-    return flux, 1.0 / jnp.sqrt(jnp.maximum(den, 1e-12))
+    # the reported error still includes the source Poisson term
+    err2 = jnp.sum(P * P * ivar * ivar
+                   * (var + jnp.maximum(vig, 0.0)), axis=(1, 2)) \
+        / jnp.maximum(den, 1e-12) ** 2
+    return flux, jnp.sqrt(jnp.maximum(err2, 1e-12))

@@ -27,7 +27,12 @@ class SatDetParams:
     bin_factor: int = 4          # binning before the transform
     n_slopes: int = 101          # slopes in [-1, 1] per orientation
     nsigma: float = 8.0          # peak threshold over profile noise
-    min_fill: float = 0.2        # min fraction of line crossing the frame lit
+    min_fill: float = 0.2        # min fraction of line inside the frame
+    winsor_clip: float = 2.5     # significance winsorisation: keeps the
+                                 # statistic length-driven, so compact
+                                 # bright stars cannot fake a trail
+    lit_frac: float = 0.5        # min fraction of line pixels lit (>2σ)
+    lit_sigma: float = 2.0
     trail_halfwidth: int = 5     # half-width of the rasterised trail mask
     max_trails: int = 8          # static cap on detected trails
 
@@ -82,27 +87,61 @@ def detect_trails(image, mask_excl=None,
     p = params
     H, W = image.shape
     B = _bin2d(image, p.bin_factor)
+    excl = None
     if mask_excl is not None:
-        Bm = _bin2d(mask_excl.astype(jnp.float32), p.bin_factor) > 0.5
-        B = jnp.where(Bm, 0.0, B)
-    # robust background removal + positive clipping
-    med = jnp.median(B)
-    mad = jnp.median(jnp.abs(B - med)) * 1.4826 + 1e-6
-    Z = jnp.clip((B - med) / mad, 0.0, 8.0)   # winsorised significance map
+        excl = _bin2d(mask_excl.astype(jnp.float32), p.bin_factor) > 0.5
+        B = jnp.where(excl, jnp.median(B), B)
+    # local background removal: a global median is NOT enough — the
+    # flat-field vignette leaves large-scale sky gradients that light up
+    # whole line integrals and fake trails.  Clipped mesh + bicubic
+    # upsample on the (cheap) binned map.
+    from blackbox_tpu.ops.background import background_mesh, mini2back
+    Hb, Wb = B.shape
+    box = max(min(Hb, Wb) // 4, 8)
+    mesh, stdm = background_mesh(B[:Hb // box * box, :Wb // box * box],
+                                 None, box)
+    bkg = mini2back(mesh, (Hb, Wb), box)
+    med = jnp.median(B - bkg)
+    mad = jnp.median(jnp.abs(B - bkg - med)) * 1.4826 + 1e-6
+    sig = (B - bkg - med) / mad
+    Z = jnp.clip(sig, 0.0, p.winsor_clip)     # winsorised signif. map
+    lit = (sig > p.lit_sigma).astype(jnp.float32)
+    if excl is not None:
+        Z = jnp.where(excl, 0.0, Z)
+        lit = jnp.where(excl, 0.0, lit)
+    # analytic baseline of clip(max(z,0), c) for unit-normal noise: the
+    # line statistic must be a true z-score, not a raw mean (positive
+    # clipping leaves a ~0.29/px floor that scales with sqrt(n))
+    import math
+    c = p.winsor_clip
+    phi0 = 1.0 / math.sqrt(2 * math.pi)
+    phic = phi0 * math.exp(-0.5 * c * c)
+    tail = 0.5 * math.erfc(c / math.sqrt(2))
+    z_mean = (phi0 - phic) + c * tail
+    # second moment: E[min(max(z,0),c)²] = ∫₀ᶜ z²φ(z)dz + c²·P(z>c),
+    # with ∫₀ᶜ z²φ(z)dz = ½·erf(c/√2) − c·φ(c)
+    int_z2 = 0.5 * math.erf(c / math.sqrt(2)) - c * phic
+    z_var = (int_z2 + c * c * tail) - z_mean ** 2
 
     from jax import lax
     slopes_grid = jnp.linspace(-1.0, 1.0, p.n_slopes)
     cand_v, cand_a, cand_b, cand_t = [], [], [], []
     for transpose in (False, True):
         Bt = Z.T if transpose else Z
+        Lt = lit.T if transpose else lit
         prof, nhit = _shear_profiles(Bt, p.n_slopes)
+        litprof, _ = _shear_profiles(Lt, p.n_slopes)
         nhit = jnp.maximum(nhit, 1)
         # normalised mean significance along the line; require decent fill
         line_mean = prof / nhit
         fill_ok = nhit >= (p.min_fill * Bt.shape[0])
-        # noise of the mean: the winsorised map has unit-ish sigma
-        snr = line_mean * jnp.sqrt(nhit.astype(jnp.float32))
-        snr = jnp.where(fill_ok, snr, 0.0)
+        # a trail is LONG: most pixels along the line are individually lit
+        # (compact star disks light only a small stretch)
+        lit_ok = (litprof / nhit) >= p.lit_frac
+        # z-score of the line mean against the clipped-noise baseline
+        snr = (line_mean - z_mean) * jnp.sqrt(
+            nhit.astype(jnp.float32) / z_var)
+        snr = jnp.where(fill_ok & lit_ok, snr, 0.0)
 
         # peak picking with non-max suppression in a (5, 11) window
         padded = jnp.pad(snr, ((2, 2), (5, 5)), constant_values=0)

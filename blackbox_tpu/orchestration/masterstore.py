@@ -1,0 +1,176 @@
+"""Master bias/dark/flat store: build, publish, and look up with fallbacks.
+
+Rebuild of the reference's ``master_prep`` + ``get_nearest_master``
+(/root/reference/blackbox.py:4625-5247, 5291-5398): if a night's master
+is absent, gather the night's reduced individual cals within the
+calendar window (bias ±3 d, flat ±7 d — set_blackbox.py:47), median
+stack on device, QC, and publish atomically; readers fall back
+current → nearest within ±1 month, skipping red-flagged masters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+import re
+
+import numpy as np
+
+from blackbox_tpu.io.fits import Header, read_fits
+from blackbox_tpu.io.rice import read_rice, write_rice
+from blackbox_tpu.io.storage import already_exists, get_backend, list_files
+from blackbox_tpu.orchestration.paths import DataTree
+
+
+@dataclasses.dataclass(frozen=True)
+class MasterPolicy:
+    cal_window: dict = dataclasses.field(
+        default_factory=lambda: {"bias": 3, "dark": 3, "flat": 7})
+    ncal_max: dict = dataclasses.field(
+        default_factory=lambda: {"bias": 20, "dark": 20, "flat": 15})
+    ncal_min: int = 3
+    fallback_days: int = 31
+
+
+def _date_shift(date: str, days: int) -> str:
+    d = datetime.date(int(date[:4]), int(date[4:6]), int(date[6:8]))
+    return (d + datetime.timedelta(days=days)).strftime("%Y%m%d")
+
+
+class MasterStore:
+    def __init__(self, tree: DataTree, telescope: str = "ML1",
+                 policy: MasterPolicy = MasterPolicy()):
+        self.tree = tree
+        self.telescope = telescope
+        self.policy = policy
+        self._cache = {}
+
+    # ---- lookup ----
+
+    def master_path(self, imgtype: str, date: str, filt=None) -> str:
+        return self.tree.master_name(imgtype, date, filt)
+
+    def find(self, imgtype: str, date: str, filt=None):
+        """Nearest non-red master within ±fallback_days (blackbox.py:5291)."""
+        for dd in range(self.policy.fallback_days + 1):
+            for sign in ((0,) if dd == 0 else (-1, 1)):
+                cand = self.master_path(imgtype, _date_shift(date, sign * dd),
+                                        filt)
+                ok, found = already_exists(cand, get_filename=True)
+                if ok and not self._is_red(found):
+                    return found
+        return None
+
+    def _is_red(self, path: str) -> bool:
+        try:
+            _, h = read_rice(path)
+        except Exception:
+            try:
+                hdus = read_fits(path)
+                h = hdus[0][1]
+            except Exception:
+                return True
+        return str(h.get("QC-FLAG", "green")).strip() == "red"
+
+    def load(self, imgtype: str, date: str, filt=None):
+        """(data (C,ych,xch) or mosaic, header) of the best master."""
+        path = self.find(imgtype, date, filt)
+        if path is None:
+            return None, None
+        key = (path,)
+        if key not in self._cache:
+            self._cache[key] = read_rice(path)
+        return self._cache[key]
+
+    # ---- building ----
+
+    def individual_cals(self, imgtype: str, date: str, filt=None) -> list:
+        """Reduced individual cal frames within the calendar window."""
+        window = self.policy.cal_window.get(imgtype, 3)
+        out = []
+        for dd in range(-window, window + 1):
+            d = _date_shift(date, dd)
+            rdir = self.tree.red_dir(d, imgtype)
+            pats = list_files(os.path.join(rdir, "*_red.fits*"))
+            for p in pats:
+                if filt is not None and f"_{filt}_" not in \
+                        os.path.basename(p) and not self._filter_match(
+                            p, filt):
+                    continue
+                out.append((abs(dd), p))
+        # nearest-to-midnight first, capped (blackbox.py:4852-4868)
+        out.sort(key=lambda t: t[0])
+        cap = self.policy.ncal_max.get(imgtype, 20)
+        return [p for _, p in out[:cap]]
+
+    @staticmethod
+    def _filter_match(path: str, filt) -> bool:
+        try:
+            # tile-compressed products carry the header on the bintable
+            # extension; scan every HDU for the FILTER card
+            for _, h in read_fits(path):
+                if "FILTER" in h:
+                    return str(h["FILTER"]).strip() == str(filt)
+        except Exception:
+            pass
+        return False
+
+    def ensure_master(self, imgtype: str, date: str, geom, filt=None,
+                      norm_sec=None, telescope=None):
+        """Return (mosaic, header), building this night's master if needed.
+
+        Masters are stored as reduced-mosaic images (like the reference's
+        products); callers disassemble to channel stacks via ``geom``.
+        """
+        tel = telescope or self.telescope
+        path = self.master_path(imgtype, date, filt)
+        ok, found = already_exists(path, get_filename=True)
+        if ok and not self._is_red(found):
+            return read_rice(found)
+
+        files = self.individual_cals(imgtype, date, filt)
+        if len(files) >= self.policy.ncal_min:
+            data, header = self._build(imgtype, files, filt, tel, geom,
+                                       norm_sec)
+            write_rice(path, np.asarray(data, np.float32), header,
+                       qlevel=32.0)
+            return data, header
+        # fallback: nearest older master
+        data, header = self.load(imgtype, date, filt)
+        return data, header
+
+    def _build(self, imgtype: str, files: list, filt, tel, geom, norm_sec):
+        import jax.numpy as jnp
+        from blackbox_tpu.pipeline import masters as M
+
+        stack = []
+        for f in files:
+            img, h0 = read_rice(f)
+            stack.append(np.asarray(geom.disassemble(
+                np.asarray(img, np.float32))))
+        cube = jnp.asarray(np.stack(stack))        # (N, C, ych, xch)
+
+        h = Header()
+        h["IMAGETYP"] = (f"m{imgtype}", "master frame type")
+        h["NUSED"] = (len(files), "number of frames combined")
+        for i, f in enumerate(files[:20]):
+            h[f"ORIG{i + 1:02d}"] = (os.path.basename(f), "input frame")
+        if filt is not None:
+            h["FILTER"] = (str(filt), "filter")
+
+        if imgtype == "flat":
+            if norm_sec is None:
+                H, W = geom.red_shape
+                norm_sec = (slice(H // 2 - H // 8, H // 2 + H // 8),
+                            slice(W // 2 - W // 8, W // 2 + W // 8))
+            master, stats = M.master_flat(cube, geom, norm_sec)
+        else:                                      # bias and dark
+            master, stats = M.master_bias(cube)
+        for k, v in stats.items():
+            a = np.asarray(v)
+            if a.ndim == 0:
+                h[k.upper()[:8]] = (round(float(a), 4), "")
+        from blackbox_tpu.qc.engine import run_qc_check
+        run_qc_check(h, tel, check_key_type=f"m{imgtype}")
+        return np.asarray(geom.assemble(master)), h

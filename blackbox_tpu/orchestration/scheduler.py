@@ -1,0 +1,128 @@
+"""Run orchestration: day-mode batch runs and night-mode streaming.
+
+Rebuild of the reference's ``run_blackbox`` (/root/reference/blackbox.py:
+128-483): day mode sorts the date's raw frames by IMAGETYP and reduces
+bias -> dark -> flat -> object (sort_files 7573-7648); night mode tails
+the raw directory with the ingest watcher until one hour past sunrise
+and drains the queue (392-466), then builds the obslog.  Where the
+reference forks one process per image, frames here flow through one
+process that owns the TPU; the device programs are compiled once and
+reused, and multi-chip throughput comes from sharded batches
+(blackbox_tpu.parallel), not fork().
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import time
+from typing import Callable, Optional
+
+from blackbox_tpu.astro.ephem import sun_altitude
+from blackbox_tpu.astro.time import datetime2mjd
+from blackbox_tpu.io.fits import read_fits
+from blackbox_tpu.io.storage import list_files
+from blackbox_tpu.orchestration.ingest import DirectoryWatcher, drain_until
+
+log = logging.getLogger(__name__)
+
+IMGTYPE_ORDER = {"bias": 0, "dark": 1, "flat": 2, "object": 3}
+
+
+def sort_files(paths, read_header=None):
+    """Order raw frames for reduction: bias, dark, flat, then science
+    (reference sort_files, blackbox.py:7573-7648).  Unreadable files
+    sort last and are kept (the per-frame driver rejects them cleanly)."""
+    def key(p):
+        try:
+            h = read_header(p) if read_header else read_fits(p)[0][1]
+            t = str(h.get("IMAGETYP", "object")).strip().lower()
+            return (IMGTYPE_ORDER.get(t, 4), p)
+        except Exception:
+            return (9, p)
+    return sorted(paths, key=key)
+
+
+@dataclasses.dataclass
+class RunReport:
+    nprocessed: int = 0
+    nreduced: int = 0
+    nskipped: int = 0
+    nrejected: int = 0
+    nerror: int = 0
+    results: list = dataclasses.field(default_factory=list)
+
+    def add(self, path, result):
+        self.nprocessed += 1
+        self.results.append((path, result))
+        key = f"n{result.status}"
+        setattr(self, key, getattr(self, key, 0) + 1)
+
+
+def run_day(pipeline, date: str, image_filter: Optional[Callable] = None,
+            force: bool = False) -> RunReport:
+    """Batch-reduce one night's raw directory (reference day mode)."""
+    raw_dir = pipeline.tree.raw_dir(date)
+    paths = list_files(raw_dir + "/*.fits*")
+    if image_filter:
+        paths = [p for p in paths if image_filter(p)]
+    report = RunReport()
+    for p in sort_files(paths):
+        report.add(p, pipeline.process_file(p, force=force))
+    return report
+
+
+def run_night(pipeline, date: str, *,
+              until: Optional[Callable[[], bool]] = None,
+              sunrise_margin_h: float = 1.0,
+              poll_s: float = 2.0, max_runtime_s: Optional[float] = None
+              ) -> RunReport:
+    """Streaming night mode: watch the raw dir, reduce on arrival.
+
+    Runs until ``until()`` is true (default: the sun is up by
+    ``sunrise_margin_h`` hours at the pipeline's site) AND the queue has
+    drained — the reference keeps reducing frames that arrived before
+    sunrise+1h (blackbox.py:444-453).
+    """
+    raw_dir = pipeline.tree.raw_dir(date)
+    q: "queue.Queue[str]" = queue.Queue()
+    watcher = DirectoryWatcher(raw_dir + "/*.fits*", q, poll_s=poll_s,
+                               preload_existing=True).start()
+    t0 = time.time()
+    lat, lon = pipeline.site[0], pipeline.site[1]
+
+    def default_until():
+        if max_runtime_s is not None and time.time() - t0 > max_runtime_s:
+            return True
+        import datetime
+        mjd = datetime2mjd(datetime.datetime.now(datetime.timezone.utc))
+        # crude sunrise+margin criterion: sun high enough for long enough
+        return sun_altitude(mjd - sunrise_margin_h / 24.0, lat, lon) > 0
+
+    report = RunReport()
+    try:
+        drain_until(q, lambda p: report.add(p, pipeline.process_file(p)),
+                    until or default_until)
+    finally:
+        watcher.stop()
+    return report
+
+
+def create_masters(pipeline, date: str, imgtypes=("bias", "flat"),
+                   filters=("q",)) -> dict:
+    """Bulk master creation for a date (reference create_masters,
+    blackbox.py:617-782): every master is built from the already-reduced
+    individual calibration frames in the red tree."""
+    out = {}
+    for imgtype in imgtypes:
+        if imgtype == "flat":
+            for f in filters:
+                data, h = pipeline.masters.ensure_master(
+                    imgtype, date, pipeline.geom, filt=f)
+                out[(imgtype, f)] = h if data is not None else None
+        else:
+            data, h = pipeline.masters.ensure_master(
+                imgtype, date, pipeline.geom)
+            out[(imgtype, None)] = h if data is not None else None
+    return out

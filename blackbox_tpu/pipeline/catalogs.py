@@ -84,7 +84,7 @@ def empty_catalog(cat_type: str, n_aper: int = 3):
 
 def device_cat_to_columns(cat: dict, zeropoint: float | None,
                           airmass: float = 1.0, ext_coeff: float = 0.0,
-                          wcs=None, n_aper: int = 3):
+                          wcs=None, n_aper: int = 3, exptime: float = 1.0):
     """Convert the device catalog pytree to schema'd numpy columns."""
     valid = np.asarray(cat["valid"])
     sel = np.flatnonzero(valid)
@@ -97,7 +97,10 @@ def device_cat_to_columns(cat: dict, zeropoint: float | None,
     def mags(flux, err):
         with np.errstate(divide="ignore", invalid="ignore"):
             zp = zeropoint if zeropoint is not None else 0.0
-            mag = zp - 2.5 * np.log10(np.maximum(flux, 1e-30)) \
+            # zeropoint convention: mag = zp − 2.5·log10(flux/exptime)
+            # − k·airmass (zogy apply_zp contract)
+            mag = zp - 2.5 * np.log10(np.maximum(flux, 1e-30)
+                                      / max(exptime, 1e-9)) \
                 - ext_coeff * airmass
             magerr = 1.0857 * err / np.maximum(flux, 1e-30)
         bad = flux <= 0
@@ -105,8 +108,14 @@ def device_cat_to_columns(cat: dict, zeropoint: float | None,
         magerr[bad] = 99.0
         return mag.astype(np.float32), magerr.astype(np.float32)
 
-    flux_opt = flux_ap[:, -1]
-    fluxerr_opt = fluxerr_ap[:, -1]
+    # optimal flux = PSF matched-filter flux when the PSF stage ran
+    # (zogy E_FLUX_OPT contract); largest aperture otherwise
+    if "flux_psf" in cat:
+        flux_opt = np.asarray(cat["flux_psf"])[sel]
+        fluxerr_opt = np.asarray(cat["fluxerr_psf"])[sel]
+    else:
+        flux_opt = flux_ap[:, -1]
+        fluxerr_opt = fluxerr_ap[:, -1]
     mag_ap, magerr_ap = mags(flux_ap, fluxerr_ap)
     mag_opt, magerr_opt = mags(flux_opt, fluxerr_opt)
 

@@ -1,0 +1,452 @@
+"""Per-frame host driver: raw FITS file -> published products.
+
+Rebuild of the reference's 1700-line ``blackbox_reduce``
+(/root/reference/blackbox.py:1027-2669) around the jitted device
+pipeline.  The flow and its guarantees are preserved:
+
+  header checks -> raw QC gate -> skip/resume logic -> calibration ->
+  red+mask products -> full QC (red => dummy catalogs) -> astrometry ->
+  photometric calibration -> source catalog -> (vs a reference image)
+  ZOGY subtraction -> transient catalog -> product publication
+
+with every stage try/except-contained and stamped as a ``*-P`` boolean
+header flag (blackbox.py:1476-1488 et seq.), so one bad frame never
+takes down a night.  The compute difference: all pixel work happens in
+two jitted XLA programs reused across frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from blackbox_tpu.astro.astrometry import solve_tan
+from blackbox_tpu.astro.photcal import (
+    fit_zeropoint, limiting_magnitude, match_catalogs)
+from blackbox_tpu.astro.wcs import TanWCS
+from blackbox_tpu.config.base import get_par
+from blackbox_tpu.config.defaults import ReductionSettings
+from blackbox_tpu.io.fits import Header, read_fits, write_image
+from blackbox_tpu.io.psffits import write_psf
+from blackbox_tpu.io.rice import read_rice, write_rice
+from blackbox_tpu.io.storage import get_backend, list_files
+from blackbox_tpu.orchestration.manifest import plan_tasks
+from blackbox_tpu.orchestration.masterstore import MasterStore
+from blackbox_tpu.orchestration.paths import (
+    DataTree, base_name, night_date)
+from blackbox_tpu.pipeline.catalogs import (
+    device_cat_to_columns, write_catalog, write_dummy_catalog)
+from blackbox_tpu.pipeline.headers import (
+    check_header_basic, set_header, stamp_calibration, stamp_extraction)
+from blackbox_tpu.pipeline.reduce import (
+    ReduceContext, calibrate_detector, extract_catalog)
+from blackbox_tpu.qc.engine import run_qc_check
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class FrameResult:
+    status: str                 # reduced | skipped | rejected | error
+    qc_flag: str = "green"
+    products: list = dataclasses.field(default_factory=list)
+    header: Optional[Header] = None
+    stats: dict = dataclasses.field(default_factory=dict)
+    error: Optional[str] = None
+
+
+class Pipeline:
+    """Stateful per-telescope pipeline: jitted programs + master store.
+
+    ref_catalog : optional callable (ra, dec, radius_deg) ->
+        dict(ra=…, dec=…, mag=…) supplying calibration stars (the
+        reference uses Gaia through Astrometry.net / zogy).
+    """
+
+    def __init__(self, tree: DataTree, telescope: str = "ML1",
+                 settings: Optional[ReductionSettings] = None,
+                 ctx: Optional[ReduceContext] = None,
+                 ref_catalog: Optional[Callable] = None,
+                 ext_coeff: float = 0.0, subtract_refs: bool = True,
+                 sso_elements: Optional[list] = None,
+                 update_headertables: bool = True):
+        import jax
+
+        self.tree = tree
+        self.telescope = telescope
+        self.settings = settings or ReductionSettings()
+        self.ctx = ctx or ReduceContext.from_settings(
+            self.settings, telescope)
+        self.geom = self.ctx.geom
+        self.site = get_par(self.settings.site, telescope)
+        self.masters = MasterStore(tree, telescope)
+        self.ref_catalog = ref_catalog
+        self.ext_coeff = ext_coeff
+        self.subtract_refs = subtract_refs
+        self.sso_elements = sso_elements or []
+        self.update_headertables = update_headertables
+
+        ctx_ = self.ctx
+        self._calibrate = jax.jit(
+            lambda c, v, h, mb, mf: calibrate_detector(
+                ctx_, c, v, h, mb, mf, None, None))
+        self._calibrate_nomaster = jax.jit(
+            lambda c, v, h: calibrate_detector(
+                ctx_, c, v, h, None, None, None, None))
+        self._extract = jax.jit(lambda s, m: extract_catalog(ctx_, s, m))
+
+    # ------------------------------------------------------------ entry
+
+    def process_file(self, path: str, force: bool = False,
+                     img_reduce: bool = True, cat_extract: bool = True,
+                     trans_extract: bool = True) -> FrameResult:
+        t0 = time.time()
+        try:
+            return self._process(path, force, img_reduce, cat_extract,
+                                 trans_extract)
+        except Exception as e:          # frame-level containment
+            log.exception("frame %s failed", path)
+            return FrameResult(status="error", error=f"{type(e).__name__}: {e}")
+        finally:
+            log.info("%s done in %.1f s", os.path.basename(path),
+                     time.time() - t0)
+
+    def _process(self, path, force, img_reduce, cat_extract,
+                 trans_extract) -> FrameResult:
+        import jax.numpy as jnp
+
+        try:
+            hdus = read_fits(path)
+            raw, h = hdus[0]
+        except Exception as e:
+            return FrameResult(status="rejected",
+                               error=f"unreadable FITS file: {e}")
+        if raw is None:
+            return FrameResult(status="rejected",
+                               error="no image data in primary HDU")
+        problems = check_header_basic(h)
+        if problems:
+            return FrameResult(status="rejected",
+                               error="; ".join(problems))
+        h = set_header(h, self.site)
+        # raw QC gate (reference blackbox.py:1095: red => abort)
+        flag = run_qc_check(h, self.telescope, check_key_type="raw")
+        if flag == "red":
+            return FrameResult(status="rejected", qc_flag="red", header=h)
+
+        imgtype = str(h["IMAGETYP"]).strip().lower()
+        date = night_date(float(h["MJD-OBS"]), self.site[1])
+        base = base_name(path)
+        filt = str(h["FILTER"]).strip()
+
+        plan = plan_tasks(self.tree, date, path, img_reduce, cat_extract,
+                          trans_extract, force, imgtype=imgtype)
+        if not plan:
+            return FrameResult(status="skipped", header=h)
+
+        # ---- calibration (device program #1) ----
+        chan, osv, osh = self.geom.split_raw(
+            np.asarray(raw, np.float32))
+        args = (jnp.asarray(chan), jnp.asarray(osv), jnp.asarray(osh))
+
+        h["BIAS-P"] = (False, "bias corrected?")
+        h["FLAT-P"] = (False, "flat-fielded?")
+        mbias = mflat = None
+        if imgtype == "object" or imgtype == "flat":
+            if self.ctx.subtract_mbias:
+                mb, _ = self.masters.ensure_master("bias", date, self.geom)
+                if mb is not None:
+                    mbias = jnp.asarray(self.geom.disassemble(
+                        np.asarray(mb, np.float32)))
+                    h["BIAS-P"] = True
+        if imgtype == "object":
+            mf, _ = self.masters.ensure_master("flat", date, self.geom,
+                                               filt=filt)
+            if mf is not None:
+                mflat = jnp.asarray(self.geom.disassemble(
+                    np.asarray(mf, np.float32)))
+                h["FLAT-P"] = True
+
+        sci, mask, stats = self._calibrate(*args, mbias, mflat)
+        stats = {k: np.asarray(v) for k, v in stats.items()}
+        exptime = float(h["EXPTIME"]) if imgtype == "object" else 1.0
+        pixscale = self.settings.pixscale
+        stamp_calibration(h, stats, self.ctx.gains, pixscale, exptime)
+        h["OS-P"] = (True, "overscan corrected?")
+        h["GAIN-P"] = (True, "gain corrected?")
+        h["MASK-P"] = (True, "mask built?")
+        h["COSMIC-P"] = (True, "cosmic rays rejected?")
+        h["SAT-P"] = (bool(self.ctx.detect_sats), "satellites detected?")
+
+        rdir = self.tree.red_dir(date, imgtype)
+        get_backend(rdir).make_dir(rdir)
+        products = []
+
+        def ship_log(result_line: str):
+            # per-image logfile shipped with the products
+            # (reference blackbox.py:1311-1318, 3840-3854)
+            lg = os.path.join(rdir, base + "_red.log")
+            lines = [f"{time.strftime('%Y-%m-%dT%H:%M:%S')} "
+                     f"{os.path.basename(path)} [{imgtype}/{filt}] "
+                     f"{result_line}"]
+            for k in ("QC-FLAG", "RDNOISE", "NCOSMICS", "NSATS",
+                      "NOBJECTS", "S-SEEING", "PC-ZP", "LIMMAG",
+                      "T-NTRANS"):
+                if k in h:
+                    lines.append(f"  {k} = {h[k]}")
+            get_backend(lg).write_bytes(lg, "\n".join(lines).encode()
+                                        + b"\n")
+            products.append(lg)
+
+        sci_np = np.asarray(sci, np.float32)
+        mask_np = np.asarray(mask, np.uint8)
+
+        # calibration frames: publish and return (blackbox.py:1628-1717)
+        if imgtype in ("bias", "dark", "flat"):
+            run_qc_check(h, self.telescope, check_key_type=imgtype)
+            red = os.path.join(rdir, base + "_red.fits.fz")
+            write_rice(red, sci_np, h, qlevel=32.0)
+            products.append(red)
+            if self.update_headertables and imgtype in ("bias", "flat"):
+                from blackbox_tpu.orchestration.headertable import \
+                    add_headkeys
+                add_headkeys(self.tree, self.telescope, imgtype, [h],
+                             [base + "_red.fits"])
+            ship_log("reduced (calibration frame)")
+            return FrameResult(status="reduced",
+                               qc_flag=str(h["QC-FLAG"]).strip(),
+                               products=products, header=h, stats=stats)
+
+        # ---- source extraction (device program #2) ----
+        ext = self._extract(sci, mask)
+        estats = {k: np.asarray(v) for k, v in ext["stats"].items()}
+        stamp_extraction(h, estats, pixscale)
+        h["PSF-P"] = (self.ctx.fit_psf, "PSF fitted?")
+        if "psf_fwhm_pix" in estats:
+            h["PSF-FWHM"] = (round(float(estats["psf_fwhm_pix"])
+                                   * pixscale, 3), "[arcsec] PSF FWHM")
+            h["PSF-CHI2"] = (round(float(estats["psf_chi2"]), 3),
+                             "PSF fit median chi2")
+
+        cat = {k: np.asarray(v) for k, v in ext["cat"].items()}
+
+        # ---- astrometry: seeded TAN solve against the ref catalog ----
+        wcs = TanWCS.simple(float(h.get("RA", 150.0)),
+                            float(h.get("DEC", -30.0)),
+                            pixscale, sci_np.shape)
+        h["A-P"] = (False, "astrometry solved?")
+        zp = None
+        if self.ref_catalog is not None:
+            radius = 1.2 * pixscale * max(sci_np.shape) / 3600.0
+            refcat = self.ref_catalog(wcs.crval1, wcs.crval2, radius)
+            sel = cat["valid"]
+            sol = solve_tan(cat["x"][sel], cat["y"][sel],
+                            cat["flux_iso"][sel],
+                            refcat["ra"], refcat["dec"], refcat["mag"],
+                            wcs)
+            if sol.ok:
+                wcs = sol.wcs
+                h["A-P"] = True
+                h["A-NAST"] = (sol.nmatch, "astrometric matches")
+                h["A-RMS"] = (round(sol.rms_arcsec, 4),
+                              "[arcsec] astrometric rms")
+                # ---- photometric calibration ----
+                rx, ry = wcs.sky2pix(refcat["ra"], refcat["dec"])
+                ii, jj = match_catalogs(cat["x"][sel], cat["y"][sel],
+                                        rx, ry, radius_pix=2.0)
+                flux_key = "flux_psf" if "flux_psf" in cat else "flux_iso"
+                zp_fit = fit_zeropoint(
+                    cat[flux_key][sel][ii],
+                    None, np.asarray(refcat["mag"])[jj], exptime,
+                    airmass=float(h.get("AIRMASS", 1.0)),
+                    ext_coeff=self.ext_coeff)
+                if zp_fit.ok:
+                    zp = zp_fit.zp
+                    h["PC-P"] = (True, "photometrically calibrated?")
+                    h["PC-ZP"] = (round(zp, 4), "[mag] zeropoint")
+                    h["PC-ZPSTD"] = (round(zp_fit.zp_std, 4),
+                                     "[mag] zeropoint STD")
+                    h["PC-NCAL"] = (zp_fit.nstars, "calibration stars")
+                    limmag = limiting_magnitude(
+                        zp, float(estats["bkg_std"]),
+                        float(estats["s_seeing_pix"]), exptime,
+                        airmass=float(h.get("AIRMASS", 1.0)),
+                        ext_coeff=self.ext_coeff)
+                    h["LIMMAG"] = (round(limmag, 4),
+                                   "[mag] 5-sigma limiting magnitude")
+        wcs.to_header(h)
+
+        # ---- full-frame QC; red => dummy catalogs (2018-2048) ----
+        flag = run_qc_check(h, self.telescope, check_key_type="full")
+        red = os.path.join(rdir, base + "_red.fits.fz")
+        mask_p = os.path.join(rdir, base + "_mask.fits.fz")
+        hdr_p = os.path.join(rdir, base + "_red_hdr.fits")
+        cat_p = os.path.join(rdir, base + "_red_cat.fits")
+        write_rice(red, sci_np, h, qlevel=16.0)
+        write_rice(mask_p, mask_np.astype(np.uint8), h, qlevel=16.0)
+        write_image(hdr_p, None, h)
+        products += [red, mask_p, hdr_p]
+
+        if flag == "red":
+            write_dummy_catalog(cat_p, h, "new", self.telescope)
+            products.append(cat_p)
+            ship_log("reduced red-flagged (dummy catalog)")
+            return FrameResult(status="reduced", qc_flag="red",
+                               products=products, header=h, stats=stats)
+
+        cols = device_cat_to_columns(
+            cat, zp, airmass=float(h.get("AIRMASS", 1.0)),
+            ext_coeff=self.ext_coeff, wcs=wcs,
+            n_aper=len(self.ctx.apphot_radii), exptime=exptime)
+        write_catalog(cat_p, cols, h, "new")
+        products.append(cat_p)
+        psf_p = os.path.join(rdir, base + "_psf.fits")
+        if "psf" in ext:
+            write_psf(psf_p, ext["psf"], h)
+            products.append(psf_p)
+
+        # ---- transient extraction against the field reference ----
+        if trans_extract and self.subtract_refs:
+            try:
+                tr = self._transients(h, sci, ext, mask, wcs, cat, zp,
+                                      rdir, base)
+                products += tr
+                h["TRANS-P"] = (bool(tr), "transients extracted?")
+            except Exception as e:
+                log.exception("subtraction failed for %s", base)
+                h["TRANS-P"] = (False, "transients extracted?")
+                h["TQC-FLAG"] = ("red", "transient QC flag")
+
+        if self.update_headertables:
+            from blackbox_tpu.orchestration.headertable import add_headkeys
+            add_headkeys(self.tree, self.telescope, "cat", [h],
+                         [base + "_red.fits"])
+            if "T-NTRANS" in h:
+                add_headkeys(self.tree, self.telescope, "trans", [h],
+                             [base + "_red.fits"])
+        ship_log("reduced")
+        return FrameResult(status="reduced",
+                           qc_flag=str(h["QC-FLAG"]).strip(),
+                           products=products, header=h,
+                           stats={**stats, **estats})
+
+    # ------------------------------------------------------- subtraction
+
+    def _find_ref(self, field_id: int, filt: str):
+        rdir = self.tree.ref_dir(field_id)
+        cands = [f for f in list_files(os.path.join(rdir, "*_red.fits*"))
+                 if f"_{filt}_" in os.path.basename(f)
+                 or f"_{filt}." in os.path.basename(f)]
+        return cands[-1] if cands else None
+
+    def _transients(self, h, sci, ext, mask, wcs, cat, zp, rdir, base):
+        from blackbox_tpu.io.psffits import read_psf
+        from blackbox_tpu.pipeline.subtract import (
+            SubtractionInput, run_subtraction)
+        import jax.numpy as jnp
+
+        try:
+            field_id = int(h.get("OBJECT"))
+        except (TypeError, ValueError):
+            return []
+        filt = str(h["FILTER"]).strip()
+        ref_img_path = self._find_ref(field_id, filt)
+        if ref_img_path is None:
+            return []
+        ref_base = base_name(ref_img_path)[:-len("_red")]
+        rd = os.path.dirname(ref_img_path)
+        ref_img, ref_h = read_rice(ref_img_path)
+        ref_mask, _ = read_rice(os.path.join(rd, ref_base + "_mask.fits.fz"))
+        ref_psf = read_psf(os.path.join(rd, ref_base + "_psf.fits"))
+        ref_cat = read_fits(os.path.join(rd, ref_base + "_red_cat.fits"))
+        rcols = next(d for d, hh in ref_cat if isinstance(d, dict))
+        ref_wcs = TanWCS.from_header(ref_h)
+
+        # ref background: stored images are background-subtracted refs
+        H, W = ref_img.shape
+        ref_std = np.full((H, W), max(float(ref_h.get("S-BKGSTD", 10.0)),
+                                      1e-3), np.float32)
+
+        new_in = SubtractionInput(
+            image=sci, bkg=ext["bkg"], bkg_std=ext["bkg_std"],
+            mask=mask, psf=ext["psf"], wcs=wcs,
+            cat_x=cat["x"], cat_y=cat["y"],
+            cat_flux=cat.get("flux_psf", cat["flux_iso"]),
+            cat_fluxerr=cat.get("fluxerr_psf",
+                                np.ones_like(cat["flux_iso"])),
+            cat_valid=cat["valid"])
+        ref_in = SubtractionInput(
+            image=jnp.asarray(np.asarray(ref_img, np.float32)),
+            bkg=jnp.zeros_like(jnp.asarray(ref_img, jnp.float32)),
+            bkg_std=jnp.asarray(ref_std),
+            mask=jnp.asarray(np.asarray(ref_mask, np.uint8)),
+            psf=ref_psf, wcs=ref_wcs,
+            cat_x=np.asarray(rcols["X_POS"], np.float64) - 1,
+            cat_y=np.asarray(rcols["Y_POS"], np.float64) - 1,
+            cat_flux=np.asarray(rcols["E_FLUX_OPT"], np.float64),
+            cat_fluxerr=np.asarray(rcols["E_FLUXERR_OPT"], np.float64),
+            cat_valid=np.ones(len(rcols["X_POS"]), bool))
+
+        res = run_subtraction(new_in, ref_in)
+        for k, v in res.stats.items():
+            key = {"z_fratio": "Z-FRATIO", "z_fratio_std": "Z-FRSTD",
+                   "z_dxrms": "Z-DXRMS", "z_dyrms": "Z-DYRMS",
+                   "z_scorr_std": "Z-SCSTD",
+                   "t_ntrans": "T-NTRANS", "t_npos": "T-NPOS",
+                   "t_nneg": "T-NNEG", "t_nvetted": "T-NVET"}.get(k)
+            if key:
+                h[key] = (round(float(v), 4) if isinstance(v, float)
+                          else int(v), "")
+        tflag = run_qc_check(h, self.telescope, check_key_type="trans",
+                             flag_key="TQC-FLAG")
+
+        products = []
+        tcat_p = os.path.join(rdir, base + "_red_trans.fits")
+        if tflag == "red":
+            write_dummy_catalog(tcat_p, h, "trans", self.telescope)
+            products.append(tcat_p)
+            return products
+
+        tc = {k: np.asarray(v) for k, v in res.trans_cat.items()}
+        sel = np.flatnonzero(tc["valid"])
+        ra, dec = wcs.pix2sky(tc["x"][sel], tc["y"][sel])
+        mag = np.full(len(sel), 99.0, np.float32)
+        if zp is not None:
+            pos = tc["flux_psf"][sel] > 0
+            mag[pos] = zp - 2.5 * np.log10(
+                tc["flux_psf"][sel][pos] / max(float(h["EXPTIME"]), 1e-9))
+        tcols = {
+            "NUMBER": np.arange(1, len(sel) + 1, dtype=np.int32),
+            "X_PEAK": (tc["x"][sel] + 1).astype(np.float32),
+            "Y_PEAK": (tc["y"][sel] + 1).astype(np.float32),
+            "RA_PSF_D": ra, "DEC_PSF_D": dec,
+            "SNR_ZOGY": tc["scorr_peak"][sel].astype(np.float32),
+            "E_FLUX_ZOGY": tc["flux_psf"][sel].astype(np.float32),
+            "E_FLUXERR_ZOGY": tc["fluxerr_psf"][sel].astype(np.float32),
+            "MAG_ZOGY": mag,
+            "ELONG_ZOGY": tc["elong"][sel].astype(np.float32),
+            "NPIX_ZOGY": tc["npix"][sel].astype(np.int32),
+        }
+        # known-asteroid cross-match (reference call_match2SSO,
+        # blackbox.py:3258-3275)
+        if self.sso_elements:
+            from blackbox_tpu.sso.match import annotate_transients
+            tcols = annotate_transients(tcols, float(h["MJD-OBS"]),
+                                        self.sso_elements)
+            h["SSO-P"] = (True, "transients matched to known SSOs?")
+            h["N-SSO"] = (int(np.sum(tcols["SSO_DESIG"] != "")),
+                          "number of SSO matches")
+        write_catalog(tcat_p, tcols, h, "trans")
+        products.append(tcat_p)
+
+        d_p = os.path.join(rdir, base + "_D.fits.fz")
+        sc_p = os.path.join(rdir, base + "_Scorr.fits.fz")
+        write_rice(d_p, np.asarray(res.D, np.float32), h, qlevel=4.0)
+        write_rice(sc_p, np.asarray(res.Scorr, np.float32), h, qlevel=2.0)
+        products += [d_p, sc_p]
+        return products

@@ -38,7 +38,8 @@ def check_header_basic(h, n_fields_max: int = 19999) -> list:
             problems.append(f"OBJECT {obj!r} is not a field ID")
     if "EXPTIME" in h:
         try:
-            if float(h["EXPTIME"]) <= 0:
+            # bias/dark frames carry EXPTIME 0 legitimately
+            if float(h["EXPTIME"]) <= 0 and imgtype == "object":
                 problems.append("non-positive EXPTIME")
         except (TypeError, ValueError):
             problems.append("EXPTIME not numeric")

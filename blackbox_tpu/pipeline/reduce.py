@@ -140,7 +140,11 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
     clean, crmask, crcounts = lacosmic(
         sci, mask_m != 0, stats["rdnoise"], ctx.lac_params)
     mask_m = jnp.where(crmask, mask_m | maskbits.COSMIC, mask_m)
-    stats["ncosmics"] = euler_count(crmask)
+    # fill holes before Euler counting: the Euler number equals the
+    # component count only for hole-free masks (otherwise NCOSMICS can
+    # even go negative)
+    from blackbox_tpu.ops.morphology import fill_holes
+    stats["ncosmics"] = euler_count(fill_holes(crmask, iterations=16))
 
     # crosstalk on the cleaned mosaic (channel-stack einsum)
     if xtalk_coeffs is not None:

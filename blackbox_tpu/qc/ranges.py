@@ -19,8 +19,9 @@ def _e(default, val_type, val_range, key_type, comment=""):
 
 _BASE = {
     # ---- raw header contract ----
-    "EXPTIME": _e(0.0, "min_max", [(10, 300), (1, 10), (0.1, 1)], "raw",
-                  "[s] exposure time"),
+    # the reference has no EXPTIME entry (bias frames carry 0 s); kept
+    # as an explicit skip for documentation
+    "EXPTIME": _e(0.0, "skip", None, "raw", "[s] exposure time"),
     "ISTRACKI": _e(False, "bool", [True], "raw", "telescope tracking?"),
 
     # ---- detector calibration ('full') ----

@@ -147,13 +147,15 @@ def make_raw_bias(geom: CCDGeometry, rng: np.random.Generator,
 
 
 def make_raw_flat(geom: CCDGeometry, rng: np.random.Generator,
-                  telescope: str = "ML1", level_e: float = 30000.0):
+                  telescope: str = "ML1", level_e: float = 30000.0,
+                  flat: Optional[np.ndarray] = None):
     from blackbox_tpu.config.defaults import GAIN
     from blackbox_tpu.config.base import get_par
     C = geom.n_chan
     gain = np.resize(np.asarray(get_par(GAIN, telescope), np.float32), C)
     bl, rn, rd, cs = _bias_structure(geom, rng)
-    flat = _vignette_flat(geom, rng)
+    if flat is None:
+        flat = _vignette_flat(geom, rng)
     truth = SynthTruth(bias_level=bl, rdnoise_adu=rn, row_drift=rd,
                        col_structure=cs, gain=gain, flat=flat)
     data_e = level_e * flat

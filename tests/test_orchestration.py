@@ -1,0 +1,200 @@
+import os
+import queue
+import time
+
+import numpy as np
+import pytest
+
+from blackbox_tpu.io.fits import Header, write_image, read_fits
+from blackbox_tpu.io.storage import already_exists, list_files
+from blackbox_tpu.orchestration.headertable import (
+    add_headkeys, query, read_table, table_path)
+from blackbox_tpu.orchestration.ingest import DirectoryWatcher
+from blackbox_tpu.orchestration.paths import (
+    DataTree, base_name, night_date, parse_raw_name)
+from blackbox_tpu.orchestration.scheduler import sort_files
+from blackbox_tpu.report.obslog import format_obslog
+from blackbox_tpu.report.quicklook import zscale, save_jpeg, cutout
+from blackbox_tpu.sso.match import (
+    Elements, ephemeris, kepler_solve, match_sso)
+
+
+def test_paths_conventions(tmp_path):
+    tree = DataTree(str(tmp_path), "ML1")
+    assert tree.raw_dir("20260301").endswith("ML1/raw/2026/03/01")
+    assert tree.red_dir("20260301", "bias").endswith(
+        "red/2026/03/01/bias")
+    assert tree.ref_dir(42).endswith("ref/00042")
+    assert parse_raw_name("ML1_20260301_231005.fits") == \
+        ("ML1", "20260301", "231005")
+    assert base_name("/a/b/ML1_x.fits.fz") == "ML1_x"
+    # a 23:00 UTC frame at an eastern site belongs to that evening
+    assert night_date("2026-03-01T23:00:00.000", 20.8) == "20260301"
+    # and an 02:00 UTC frame belongs to the previous evening's night
+    assert night_date("2026-03-02T02:00:00.000", 20.8) == "20260301"
+
+
+def test_already_exists_variants(tmp_path):
+    p = str(tmp_path / "f.fits")
+    open(p + ".fz", "wb").write(b"x")
+    assert already_exists(p)
+    ok, found = already_exists(p, get_filename=True)
+    assert found.endswith(".fz")
+    assert not already_exists(str(tmp_path / "nope.fits"))
+
+
+def test_sort_files(tmp_path):
+    names = {}
+    for t in ("object", "bias", "flat"):
+        p = str(tmp_path / f"{t}.fits")
+        h = Header()
+        h["IMAGETYP"] = (t, "")
+        write_image(p, np.zeros((4, 4), np.uint16), h)
+        names[t] = p
+    bad = str(tmp_path / "bad.fits")
+    open(bad, "wb").write(b"garbage")
+    out = sort_files([names["object"], bad, names["flat"],
+                      names["bias"]])
+    assert out[0] == names["bias"]
+    assert out[1] == names["flat"]
+    assert out[2] == names["object"]
+    assert out[3] == bad
+
+
+def test_directory_watcher(tmp_path):
+    q: "queue.Queue[str]" = queue.Queue()
+    pre = str(tmp_path / "pre.fits")
+    open(pre, "wb").write(b"old")
+    w = DirectoryWatcher(str(tmp_path / "*.fits"), q, poll_s=0.05,
+                         stable_s=0.1)
+    w.start()
+    try:
+        time.sleep(0.2)
+        assert q.empty()                    # preexisting file not queued
+        newf = str(tmp_path / "new.fits")
+        open(newf, "wb").write(b"data")
+        got = q.get(timeout=5.0)
+        assert got == newf
+    finally:
+        w.stop()
+
+
+def test_headertable_roundtrip(tmp_path):
+    tree = DataTree(str(tmp_path), "ML1")
+    h1 = Header()
+    h1["MJD-OBS"] = (60001.5, "")
+    h1["OBJECT"] = ("42", "")
+    h1["FILTER"] = ("q", "")
+    h1["LIMMAG"] = (20.5, "")
+    h1["QC-FLAG"] = ("green", "")
+    h1["S-SEEING"] = (2.2, "")
+    add_headkeys(tree, "ML1", "cat", [h1], ["a_red.fits"])
+    # update same filename (keep-last) + a second frame
+    h2 = h1.copy()
+    h2["LIMMAG"] = (21.0, "")
+    h3 = h1.copy()
+    h3["QC-FLAG"] = ("red", "")
+    add_headkeys(tree, "ML1", "cat", [h2, h3],
+                 ["a_red.fits", "b_red.fits"])
+    t = read_table(tree, "ML1", "cat")
+    assert len(t["FILENAME"]) == 2
+    assert float(t["LIMMAG"][list(t["FILENAME"]).index("a_red.fits")]) \
+        == 21.0
+    rows = query(tree, "ML1", "cat", **{"QC-FLAG": "green"})
+    assert len(rows) == 1 and rows[0]["FILENAME"] == "a_red.fits"
+    rows = query(tree, "ML1", "cat", LIMMAG=(20.9, 22.0))
+    assert len(rows) == 1
+
+
+def test_obslog_format():
+    rows = [{"FILENAME": "f1", "IMAGETYP": "object", "QC-FLAG": "green",
+             "LIMMAG": 20.123456},
+            {"FILENAME": "f2", "IMAGETYP": "bias", "QC-FLAG": "red"}]
+    txt = format_obslog(rows, "20260301", "ML1")
+    assert "green=1" in txt and "red=1" in txt
+    assert "20.12" in txt
+    assert txt.count("\n") >= 5
+
+
+def test_zscale_and_jpeg(tmp_path, rng):
+    img = rng.normal(100, 5, (64, 64)).astype(np.float32)
+    img[30, 30] = 5000.0
+    z1, z2 = zscale(img)
+    assert 80 < z1 < 100 and 100 < z2 < 140      # star ignored
+    p = save_jpeg(str(tmp_path / "x.jpg"), img, title="test")
+    assert os.path.getsize(p) > 500
+    c = cutout(img, 30, 30, 9)
+    assert c.shape == (9, 9) and c.max() == 5000.0
+
+
+def test_kepler_and_ephemeris():
+    # circular orbit: E == M
+    E = kepler_solve(np.array([0.3, 2.0, -1.2]), 0.0)
+    np.testing.assert_allclose(E, [0.3, 2.0, -1.2], atol=1e-12)
+    # high-e convergence: Kepler's equation satisfied
+    M = np.linspace(-3, 3, 25)
+    E = kepler_solve(M, 0.95)
+    np.testing.assert_allclose(E - 0.95 * np.sin(E), M, atol=1e-10)
+
+    # a Ceres-like orbit stays near the ecliptic and at sane distance
+    el = Elements("Ceres", a=2.767, e=0.0785, incl=10.6, node=80.3,
+                  argper=73.6, M0=77.4, epoch_mjd=60000.0, H=3.34)
+    ra, dec, r, delta, mag = ephemeris(el, 60100.0)
+    assert 0 <= ra < 360 and -35 < dec < 35
+    assert 2.5 < r < 3.0
+    assert 1.5 < delta < 4.0
+    assert 6 < mag < 11
+
+
+def test_match_sso_finds_planted():
+    el = Elements("2026 AB", a=2.2, e=0.1, incl=5.0, node=100.0,
+                  argper=30.0, M0=10.0, epoch_mjd=60200.0, H=18.0)
+    mjd = 60250.0
+    ra, dec, *_ = ephemeris(el, mjd)
+    tra = np.array([ra + 0.0005, 150.0])       # ~1.8" off + a field star
+    tdec = np.array([dec, -30.0])
+    idx, names, sep, mags = match_sso(tra, tdec, mjd, [el],
+                                      radius_arcsec=10.0)
+    assert list(idx) == [0]
+    assert names[0] == "2026 AB"
+    assert sep[0] < 3.0
+
+
+def test_run_day_and_obslog(tmp_path):
+    """Scheduler + driver + obslog end-to-end on a tiny night."""
+    import jax
+    from blackbox_tpu.core.geometry import TINY
+    from blackbox_tpu.config.defaults import ReductionSettings
+    from blackbox_tpu.pipeline.driver import Pipeline
+    from blackbox_tpu.orchestration.scheduler import run_day, create_masters
+    from blackbox_tpu.report.obslog import create_obslog
+    from blackbox_tpu.synth.observation import night_of_observations
+    from tests.test_driver import _ctx, PIXSCALE
+
+    rng = np.random.default_rng(3)
+    files, truths, tree = night_of_observations(
+        str(tmp_path), TINY, rng, date="20260302", nbias=3, nflat=3,
+        nsci=1, nstars=25, ncosmics=5, trail=False, nsat=0, sky_e=300.0)
+    s = ReductionSettings(geometry=TINY, pixscale=PIXSCALE)
+    pipe = Pipeline(tree, "ML1", s, _ctx(s))
+
+    rep = run_day(pipe, "20260302")
+    assert rep.nprocessed == 7
+    assert rep.nreduced == 7, [(p, r.status, r.error)
+                               for p, r in rep.results]
+    # second run: everything skipped except the never-produced trans
+    rep2 = run_day(pipe, "20260302")
+    assert rep2.nreduced <= 1 and rep2.nerror == 0
+
+    masters = create_masters(pipe, "20260302")
+    assert masters[("bias", None)] is not None
+    assert masters[("flat", "q")] is not None
+
+    obslog = create_obslog(tree, "20260302", "ML1")
+    txt = open(obslog).read()
+    assert "Observation log" in txt
+    assert txt.count("\n") >= 10       # 7 frames + headers
+    from blackbox_tpu.orchestration.headertable import read_table
+    t = read_table(tree, "ML1", "cat")
+    assert len(t["FILENAME"]) == 1     # the science frame
+    assert len(read_table(tree, "ML1", "bias")["FILENAME"]) == 3
