@@ -30,20 +30,24 @@ def fit_zeropoint(inst_flux, inst_fluxerr, matched_mag, exptime: float,
     good = (flux > 0) & np.isfinite(matched_mag)
     if good.sum() < 3:
         return ZeroPoint(float("nan"), float("nan"), int(good.sum()), False)
+    am = (np.asarray(airmass)[good] if np.ndim(airmass)
+          else airmass)
     zps = (np.asarray(matched_mag)[good]
            + 2.5 * np.log10(flux[good] / max(exptime, 1e-9))
-           + ext_coeff * np.asarray(airmass)[good] if np.ndim(airmass)
-           else np.asarray(matched_mag)[good]
-           + 2.5 * np.log10(flux[good] / max(exptime, 1e-9))
-           + ext_coeff * airmass)
+           + ext_coeff * am)
+    # median + MAD clipping: blended stars measure bright (low zp) and
+    # survive a mean/std clip, biasing the zeropoint by >0.1 mag
     keep = np.ones(len(zps), bool)
     for _ in range(iters):
-        m, s = zps[keep].mean(), zps[keep].std()
+        m = np.median(zps[keep])
+        s = 1.4826 * np.median(np.abs(zps[keep] - m))
         if s == 0:
             break
         keep = np.abs(zps - m) <= sigma * s
-    return ZeroPoint(float(zps[keep].mean()), float(zps[keep].std()),
-                     int(keep.sum()), True)
+    if keep.sum() < 3:
+        keep = np.ones(len(zps), bool)
+    return ZeroPoint(float(np.median(zps[keep])),
+                     float(zps[keep].std()), int(keep.sum()), True)
 
 
 def limiting_magnitude(zp: float, bkg_std_med: float, fwhm_pix: float,

@@ -29,6 +29,14 @@ from functools import cached_property
 import numpy as np
 
 
+def _xp_of(arr):
+    """numpy for host arrays, jax.numpy for device/traced arrays."""
+    if isinstance(arr, np.ndarray):
+        return np
+    import jax.numpy as jnp
+    return jnp
+
+
 @dataclasses.dataclass(frozen=True)
 class CCDGeometry:
     """Static description of the raw-frame channel layout."""
@@ -200,20 +208,28 @@ class CCDGeometry:
         return chan_data, os_vert, os_hori
 
     def assemble(self, chan_data):
-        """Channel stack (n_chan, ych, xch) -> reduced mosaic (2*ych, nx*xch)."""
+        """Channel stack (n_chan, ych, xch) -> reduced mosaic (2*ych, nx*xch).
+
+        Formulated as concatenations (not reshape+transpose): on TPU the
+        4-D transpose materialises a (H, nx, xch, 1)-shaped fusion output
+        whose degenerate minor dim gets tile-padded x128 (~57 GB at full
+        MeerLICHT size); concat lowering keeps native 2-D layouts.
+        """
         ny, nx = self.ny, self.nx
-        ych, xch = self.ysize_chan, self.xsize_chan
-        m = chan_data.reshape(ny, nx, ych, xch)
-        m = m.transpose(0, 2, 1, 3)
-        return m.reshape(ny * ych, nx * xch)
+        xp = _xp_of(chan_data)
+        rows = [xp.concatenate([chan_data[iy * nx + ix]
+                                for ix in range(nx)], axis=1)
+                for iy in range(ny)]
+        return xp.concatenate(rows, axis=0)
 
     def disassemble(self, mosaic):
         """Reduced mosaic -> channel stack (inverse of :meth:`assemble`)."""
         ny, nx = self.ny, self.nx
         ych, xch = self.ysize_chan, self.xsize_chan
-        m = mosaic.reshape(ny, ych, nx, xch)
-        m = m.transpose(0, 2, 1, 3)
-        return m.reshape(self.n_chan, ych, xch)
+        xp = _xp_of(mosaic)
+        chans = [mosaic[iy * ych:(iy + 1) * ych, ix * xch:(ix + 1) * xch]
+                 for iy in range(ny) for ix in range(nx)]
+        return xp.stack(chans, axis=0)
 
     # convenience: per-channel mosaic row parity (top channels are the
     # mirror-readout row; stencil ops that care about readout direction

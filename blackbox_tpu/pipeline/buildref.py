@@ -73,9 +73,17 @@ def select_images(table: Sequence[dict],
     Each row needs: QC-FLAG, S-SEEING ["], LIMMAG [mag], and anything the
     caller wants back.  Returns the selected rows, LIMMAG-sorted.
     """
+    def _f(v, default):
+        try:
+            x = float(v)
+            return x if np.isfinite(x) else default
+        except (TypeError, ValueError):
+            return default
+
     rows = [r for r in table
             if str(r.get("QC-FLAG", "red")).lower() in s.qc_accept
-            and float(r.get("S-SEEING", 99.0)) < s.seeing_max
+            and _f(r.get("S-SEEING"), 99.0) < s.seeing_max
+            and np.isfinite(_f(r.get("LIMMAG"), np.nan))
             and not bool(r.get("ISTRACKI", False))]
     if not rows:
         return [], {"nsel": 0, "limmag_proj": None}
@@ -196,3 +204,154 @@ def choose_clip_params(inputs: Sequence[RefInput],
     arr = np.stack(stamps)
     A, ns, nout, nkept = a_swarp_search(arr, np.ones(len(arr), bool))
     return dataclasses.replace(s.clip, A=A, nsigma=ns)
+
+
+def load_ref_input(red_path: str, bkg_boxsize: int = 256) -> RefInput:
+    """Load one published science product set as a co-add input.
+
+    Reads the _red/_mask/_psf products, re-estimates the background on
+    device (the reference's prep_inputimages likewise rebuilds the
+    background from the mini image or SExtractor,
+    /root/reference/buildref.py:2442-2777).
+    """
+    import os
+    import jax.numpy as jnp
+    from blackbox_tpu.astro.wcs import TanWCS
+    from blackbox_tpu.io.psffits import read_psf
+    from blackbox_tpu.io.rice import read_rice
+    from blackbox_tpu.ops.background import background_mesh, mini2back
+    from blackbox_tpu.ops.psf import psf_at
+
+    base = red_path[:red_path.index("_red.fits")]
+    img, h = read_rice(red_path)
+    mask, _ = read_rice(base + "_mask.fits.fz")
+    img = jnp.asarray(np.asarray(img, np.float32))
+    mask = jnp.asarray(np.asarray(mask, np.uint8))
+
+    box = min(bkg_boxsize, img.shape[0] // 4)
+    mesh, stdm = background_mesh(img, mask != 0, box)
+    bkg = mini2back(mesh, img.shape, box)
+    bstd = mini2back(stdm, img.shape, box)
+
+    psf_stamp = None
+    psf_path = base + "_psf.fits"
+    if os.path.exists(psf_path):
+        model = read_psf(psf_path)
+        cy, cx = img.shape[0] / 2.0, img.shape[1] / 2.0
+        psf_stamp = np.asarray(psf_at(model, cx, cy))
+
+    return RefInput(
+        image=img - bkg, bkg_std=bstd, mask=mask,
+        wcs=TanWCS.from_header(h),
+        zp=float(h.get("PC-ZP", 25.0)),
+        airmass=float(h.get("AIRMASS", 1.0)),
+        gain=float(h.get("GAIN", 1.0)),
+        rdnoise=float(h.get("RDNOISE", 10.0)),
+        saturate=float(h.get("SATURATE", 55000.0)),
+        psf_stamp=psf_stamp)
+
+
+def build_reference(tree, telescope: str, field_id: int, filt: str,
+                    s: BuildRefSettings = BuildRefSettings(),
+                    out_shape=None, pixscale: float = 0.5642,
+                    dlimmag_min: float = 0.1):
+    """Full prep_ref flow: select -> co-add -> QC -> publication gate.
+
+    Mirrors /root/reference/buildref.py:1013-1420: inputs come from the
+    header-table index; the new reference replaces an existing one only
+    if the projected limiting magnitude improves by ``dlimmag_min``
+    (1296-1354; the old ref is archived, not deleted).
+    Returns (status, info dict).
+    """
+    import os
+    from blackbox_tpu.io.fits import Header, write_image
+    from blackbox_tpu.io.rice import read_rice, write_rice
+    from blackbox_tpu.io.storage import get_backend, list_files
+    from blackbox_tpu.orchestration.headertable import query
+    from blackbox_tpu.orchestration.paths import DataTree, base_name
+    from blackbox_tpu.qc.engine import run_qc_check
+
+    rows = query(tree, telescope, "cat", OBJECT=str(field_id),
+                 FILTER=filt)
+    sel, info = select_images(rows, s)
+    if len(sel) < s.nimages_min:
+        return "too_few_images", {"nsel": len(sel)}
+
+    # resolve product paths from the red tree via the night dates
+    from blackbox_tpu.orchestration.paths import night_date
+    inputs, used = [], []
+    for r in sel:
+        date = night_date(float(r["MJD-OBS"]), 20.81)
+        rdir = tree.red_dir(date)
+        p = os.path.join(rdir, str(r["FILENAME"]).replace(
+            "_red.fits", "_red.fits.fz"))
+        if not os.path.exists(p):
+            continue
+        inputs.append(load_ref_input(p))
+        used.append(os.path.basename(p))
+    if len(inputs) < s.nimages_min:
+        return "missing_products", {"nfound": len(inputs)}
+
+    # output grid: the deepest input's WCS centre (center_type='grid'
+    # uses the survey field definition; callers with a grid pass their
+    # own out_shape/WCS through coadd_field directly)
+    import jax.numpy as jnp
+    wcs_out = inputs[0].wcs
+    shape = out_shape or tuple(np.asarray(inputs[0].image.shape))
+
+    sref = dataclasses.replace(s, clip=choose_clip_params(inputs, s))
+    out = coadd_field(inputs, wcs_out, shape, sref)
+
+    # limiting magnitude of the co-add at its common zeropoint
+    from blackbox_tpu.astro.photcal import limiting_magnitude
+    med_std = float(jnp.median(out["bkg_std"]))
+    limmag = limiting_magnitude(out["zp"], med_std, 3.0, 1.0)
+    out["limmag"] = limmag
+
+    # improvement gate vs the existing reference
+    rdir = tree.ref_dir(field_id)
+    existing = [f for f in list_files(os.path.join(rdir, "*_red.fits*"))
+                if f"_{filt}_" in os.path.basename(f)]
+    if existing:
+        _, h_old = read_rice(existing[-1])
+        old_lim = float(h_old.get("LIMMAG", -99.0))
+        if limmag < old_lim + dlimmag_min:
+            return "not_deeper", {"limmag": limmag, "old": old_lim}
+        # archive, don't delete (ref-old semantics)
+        arch = os.path.join(rdir, "ref-old")
+        get_backend(arch).make_dir(arch)
+        for f in list_files(os.path.join(rdir, "*")):
+            if os.path.isfile(f):
+                get_backend(f).copy(f, os.path.join(
+                    arch, os.path.basename(f)))
+                get_backend(f).remove(f)
+
+    h = Header()
+    h["IMAGETYP"] = ("ref", "reference co-add")
+    h["OBJECT"] = (str(field_id), "field ID")
+    h["FILTER"] = (filt, "filter")
+    h["NIMAGES"] = (out["nimages"], "co-added images")
+    h["PC-ZP"] = (round(out["zp"], 4), "[mag] common zeropoint")
+    h["LIMMAG"] = (round(limmag, 4), "[mag] limiting magnitude")
+    h["R-ASWARP"] = (sref.clip.A, "clipping amplitude A")
+    h["R-NSIGMA"] = (sref.clip.nsigma, "clipping threshold")
+    for i, name in enumerate(used[:40]):
+        h[f"R-IM{i + 1}"] = (name, "input image")
+    wcs_out.to_header(h)
+    flag = run_qc_check(h, telescope, check_key_type="ref")
+
+    get_backend(rdir).make_dir(rdir)
+    from blackbox_tpu.astro.time import mjd2date
+    stamp = f"{telescope}_{field_id:05d}_{filt}_coadd"
+    red_p = os.path.join(rdir, stamp + "_red.fits.fz")
+    write_rice(red_p, np.asarray(out["image"], np.float32), h,
+               qlevel=16.0)
+    write_rice(os.path.join(rdir, stamp + "_mask.fits.fz"),
+               np.asarray(out["mask"], np.uint8), h)
+    write_rice(os.path.join(rdir, stamp + "_bkgstd.fits.fz"),
+               np.asarray(out["bkg_std"], np.float32), h, qlevel=8.0)
+    write_image(os.path.join(rdir, stamp + "_red_hdr.fits"), None, h)
+
+    return ("published" if flag != "red" else "red_flagged"), {
+        "path": red_p, "limmag": limmag, "nimages": out["nimages"],
+        "qc": flag}

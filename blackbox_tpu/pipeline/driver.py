@@ -255,13 +255,29 @@ class Pipeline:
                 h["A-NAST"] = (sol.nmatch, "astrometric matches")
                 h["A-RMS"] = (round(sol.rms_arcsec, 4),
                               "[arcsec] astrometric rms")
-                # ---- photometric calibration ----
+                # ---- photometric calibration: bright, unblended stars
+                # only (faint detections carry Eddington bias — only
+                # upward fluctuations cross the threshold, which would
+                # pull the zeropoint low) ----
+                cal = sel & (cat["snr"] > 20) & (cat["elong"] < 1.5)
+                # isolation: drop stars with ANY detection within 12 px
+                # — neighbours inside the PSF stamp bias the flux high
+                # and the zeropoint low
+                ax, ay = cat["x"][sel], cat["y"][sel]
+                cx_, cy_ = cat["x"][cal], cat["y"][cal]
+                d2n = ((cx_[:, None] - ax[None, :]) ** 2
+                       + (cy_[:, None] - ay[None, :]) ** 2)
+                nnear = np.sum(d2n < 12.0 ** 2, axis=1)   # includes self
+                iso = np.zeros_like(cal)
+                iso[np.flatnonzero(cal)] = nnear <= 1
+                if iso.sum() >= 5:
+                    cal = iso
                 rx, ry = wcs.sky2pix(refcat["ra"], refcat["dec"])
-                ii, jj = match_catalogs(cat["x"][sel], cat["y"][sel],
+                ii, jj = match_catalogs(cat["x"][cal], cat["y"][cal],
                                         rx, ry, radius_pix=2.0)
                 flux_key = "flux_psf" if "flux_psf" in cat else "flux_iso"
                 zp_fit = fit_zeropoint(
-                    cat[flux_key][sel][ii],
+                    cat[flux_key][cal][ii],
                     None, np.asarray(refcat["mag"])[jj], exptime,
                     airmass=float(h.get("AIRMASS", 1.0)),
                     ext_coeff=self.ext_coeff)
@@ -295,6 +311,13 @@ class Pipeline:
         if flag == "red":
             write_dummy_catalog(cat_p, h, "new", self.telescope)
             products.append(cat_p)
+            if self.update_headertables:
+                # red frames stay in the index so buildref's QC cut can
+                # see (and reject) them
+                from blackbox_tpu.orchestration.headertable import \
+                    add_headkeys
+                add_headkeys(self.tree, self.telescope, "cat", [h],
+                             [base + "_red.fits"])
             ship_log("reduced red-flagged (dummy catalog)")
             return FrameResult(status="reduced", qc_flag="red",
                                products=products, header=h, stats=stats)

@@ -135,6 +135,12 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
     sci = geom.assemble(chan)
     mask_m = geom.assemble(mask)
 
+    # stage boundary: XLA's cross-stage fusion of the (dis)assembly with
+    # the stencil stages can materialise degenerate-dim intermediates
+    # whose TPU tile padding explodes (57 GB at full MeerLICHT size);
+    # the barrier bounds fusion at the mosaic hand-off
+    sci, mask_m = jax.lax.optimization_barrier((sci, mask_m))
+
     # cosmic rays (excluded: every already-masked pixel, reference
     # blackbox.py:4267-4273)
     clean, crmask, crcounts = lacosmic(
@@ -145,6 +151,8 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
     # even go negative)
     from blackbox_tpu.ops.morphology import fill_holes
     stats["ncosmics"] = euler_count(fill_holes(crmask, iterations=16))
+
+    clean, mask_m = jax.lax.optimization_barrier((clean, mask_m))
 
     # crosstalk on the cleaned mosaic (channel-stack einsum)
     if xtalk_coeffs is not None:
@@ -163,6 +171,8 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
         stats["nsats"] = ntrails
     else:
         stats["nsats"] = jnp.int32(0)
+
+    clean, mask_m = jax.lax.optimization_barrier((clean, mask_m))
 
     # edge pixels -> channel median (reference blackbox.py:1968-1974)
     ch = geom.disassemble(clean)
@@ -190,9 +200,13 @@ def extract_catalog(ctx: ReduceContext, sci, mask_m):
     bstd = mini2back(stdm, sci.shape, ctx.bkg_boxsize)
     sub = sci - bkg
 
+    # stage boundaries bound XLA fusion (see calibrate_detector)
+    sub, bstd = jax.lax.optimization_barrier((sub, bstd))
+
     excl = (mask_m & (maskbits.EDGE | maskbits.BAD
                       | maskbits.SATELLITE)) != 0
     seg, n = detect_segments(sub, bstd, excl, ctx.det_params)
+    seg, n = jax.lax.optimization_barrier((seg, n))
     cat = segment_catalog(sub, bstd, seg, n, ctx.det_params)
     cat.update(moments_shape(cat))
     flux, fluxerr = aperture_photometry(
@@ -217,6 +231,7 @@ def extract_catalog(ctx: ReduceContext, sci, mask_m):
     # spatially-varying PSF model + optimal PSF fluxes (PSFEx / zogy
     # flux_opt equivalents — SURVEY.md §2.4/§2.5)
     if ctx.fit_psf:
+        cat = jax.lax.optimization_barrier(cat)
         model = build_psf(sub, bstd, cat, sci.shape, ctx.psf_params)
         fpsf, fpsf_err = psf_photometry(sub, bstd, model,
                                         cat["x"], cat["y"])

@@ -168,8 +168,13 @@ def make_raw_science(geom: CCDGeometry, rng: np.random.Generator,
                      sky_e: float = 300.0, fwhm: float = 3.0,
                      ncosmics: int = 50, trail: bool = True,
                      nsat: int = 3, flat: Optional[np.ndarray] = None,
-                     flux_range=(2e3, 2e5)):
-    """Full synthetic science frame.  Returns (raw_adu, truth)."""
+                     flux_range=(2e3, 2e5),
+                     stars: Optional[np.ndarray] = None):
+    """Full synthetic science frame.  Returns (raw_adu, truth).
+
+    ``stars`` (N, 4: x, y, flux, fwhm) fixes the star field — repeated
+    visits of the same survey field share their stars.
+    """
     from blackbox_tpu.config.defaults import GAIN, SATLEVEL
     from blackbox_tpu.config.base import get_par
     C = geom.n_chan
@@ -180,12 +185,15 @@ def make_raw_science(geom: CCDGeometry, rng: np.random.Generator,
     if flat is None:
         flat = _vignette_flat(geom, rng)
 
-    # stars (kept off the extreme edges)
-    xs = rng.uniform(8, W - 8, nstars)
-    ys = rng.uniform(8, H - 8, nstars)
-    fluxes = np.exp(rng.uniform(np.log(flux_range[0]), np.log(flux_range[1]),
-                                nstars))
-    stars = np.stack([xs, ys, fluxes, np.full(nstars, fwhm)], axis=1)
+    if stars is None:
+        # stars (kept off the extreme edges)
+        xs = rng.uniform(8, W - 8, nstars)
+        ys = rng.uniform(8, H - 8, nstars)
+        fluxes = np.exp(rng.uniform(np.log(flux_range[0]),
+                                    np.log(flux_range[1]), nstars))
+        stars = np.stack([xs, ys, fluxes, np.full(nstars, fwhm)], axis=1)
+    else:
+        stars = np.array(stars, np.float64)
     data_e = star_image((H, W), stars, fwhm_default=fwhm)
 
     # a few saturating stars

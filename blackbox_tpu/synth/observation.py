@@ -93,6 +93,18 @@ def night_of_observations(root: str, geom: CCDGeometry, rng,
     # ONE instrument response shared by every frame of the night — the
     # master flat must describe the science frames' vignetting
     flat = _vignette_flat(geom, rng)
+    # repeated visits of the same field share their star field
+    if nsci > 1 and "stars" not in synth_kw:
+        H, W = geom.red_shape
+        ns = synth_kw.get("nstars", 200)
+        fw = synth_kw.get("fwhm", 3.0)
+        fr = synth_kw.get("flux_range", (2e3, 2e5))
+        xs = rng.uniform(8, W - 8, ns)
+        ys = rng.uniform(8, H - 8, ns)
+        fl = np.exp(rng.uniform(np.log(fr[0]), np.log(fr[1]), ns))
+        synth_kw = dict(synth_kw,
+                        stars=np.stack([xs, ys, fl,
+                                        np.full(ns, fw)], 1))
     files, truths = [], []
     seq = [("bias", i) for i in range(nbias)] \
         + [("flat", i) for i in range(nflat)] \

@@ -1,0 +1,67 @@
+import os
+
+import numpy as np
+import pytest
+
+from blackbox_tpu.astro.wcs import TanWCS
+from blackbox_tpu.config.defaults import ReductionSettings
+from blackbox_tpu.core.geometry import TINY
+from blackbox_tpu.io.rice import read_rice
+from blackbox_tpu.pipeline.buildref import (
+    BuildRefSettings, build_reference)
+from blackbox_tpu.pipeline.driver import Pipeline
+from blackbox_tpu.synth.observation import night_of_observations
+from tests.test_driver import _ctx, PIXSCALE, RA0, DEC0, \
+    _ref_catalog_from_truth
+
+
+@pytest.fixture(scope="module")
+def multi_night(tmp_path_factory):
+    """Three science frames of the same field over one night."""
+    root = str(tmp_path_factory.mktemp("refdata"))
+    rng = np.random.default_rng(21)
+    files, truths, tree = night_of_observations(
+        root, TINY, rng, date="20260401", nbias=3, nflat=3, nsci=3,
+        nstars=30, ncosmics=5, trail=False, nsat=0, sky_e=300.0,
+        ra_deg=RA0, dec_deg=DEC0)
+    s = ReductionSettings(geometry=TINY, pixscale=PIXSCALE)
+    # all three frames share the star field of the FIRST science truth?
+    # no — each has its own; calibrate against its own truth catalog is
+    # impossible per-frame, so use a combined catalog of all stars
+    sci_truths = truths[-3:]
+    allstars = np.concatenate([t.stars for t in sci_truths])
+
+    class T:
+        stars = allstars
+    pipe = Pipeline(tree, "ML1", s, _ctx(s),
+                    ref_catalog=_ref_catalog_from_truth(T),
+                    subtract_refs=False)
+    results = [pipe.process_file(f) for f in files]
+    return root, tree, results, sci_truths
+
+
+def test_build_reference_end_to_end(multi_night):
+    root, tree, results, truths = multi_night
+    sci = [r for r in results if r.header and
+           str(r.header.get("IMAGETYP")).strip() == "object"]
+    assert len(sci) == 3
+    assert all(r.status == "reduced" for r in sci), \
+        [(r.status, r.error, r.qc_flag) for r in sci]
+
+    s = BuildRefSettings(nimages_min=2, nimages_max=10,
+                         limmag_target=30.0, seeing_max=10.0)
+    status, info = build_reference(tree, "ML1", 42, "q", s)
+    assert status == "published", (status, info)
+    assert info["nimages"] >= 2
+
+    img, h = read_rice(info["path"])
+    assert img.shape == TINY.red_shape
+    assert float(h["LIMMAG"]) > 0
+    # co-add is deeper than single frames: bkg_std lower than any input
+    base = info["path"][:info["path"].index("_red.fits")]
+    std, _ = read_rice(base + "_bkgstd.fits.fz")
+    assert np.median(std) < 20.0
+
+    # rebuilding without a depth gain is refused (idempotence gate)
+    status2, info2 = build_reference(tree, "ML1", 42, "q", s)
+    assert status2 == "not_deeper", (status2, info2)
