@@ -74,7 +74,8 @@ class Pipeline:
                  ref_catalog: Optional[Callable] = None,
                  ext_coeff: float = 0.0, subtract_refs: bool = True,
                  sso_elements: Optional[list] = None,
-                 update_headertables: bool = True):
+                 update_headertables: bool = True,
+                 trailnet_params=None):
         import jax
 
         self.tree = tree
@@ -90,6 +91,9 @@ class Pipeline:
         self.subtract_refs = subtract_refs
         self.sso_elements = sso_elements or []
         self.update_headertables = update_headertables
+        # optional U-Net trail segmentation (ASTA equivalent) applied on
+        # top of the Radon detector's mask
+        self.trailnet_params = trailnet_params
 
         ctx_ = self.ctx
         self._calibrate = jax.jit(
@@ -173,6 +177,15 @@ class Pipeline:
                 h["FLAT-P"] = True
 
         sci, mask, stats = self._calibrate(*args, mbias, mflat)
+        if self.trailnet_params is not None and imgtype == "object":
+            from blackbox_tpu.core import maskbits
+            from blackbox_tpu.models.trailnet import segment_trails
+            import jax.numpy as jnp
+            tmask, _ = segment_trails(self.trailnet_params, sci)
+            mask = jnp.where(
+                tmask & ((mask & maskbits.EDGE) == 0),
+                mask | maskbits.SATELLITE, mask)
+            h["ASTA-P"] = (True, "U-Net trail segmentation applied?")
         stats = {k: np.asarray(v) for k, v in stats.items()}
         exptime = float(h["EXPTIME"]) if imgtype == "object" else 1.0
         pixscale = self.settings.pixscale
