@@ -54,10 +54,37 @@ def _strip_apply(img, k: int, strip_rows: int, fn, extra=None):
     return out.reshape(Hpad, W)[:H]
 
 
+def _oddeven_sort(vals: list) -> list:
+    """Odd-even transposition sort of a list of same-shape arrays.
+
+    n passes of elementwise min/max compare-exchanges — pure VPU work
+    that XLA fuses. Crucially NOT lax.sort over a stacked axis: sorting
+    a (k², h, W) stack along the non-minor axis lowers as a transpose
+    whose degenerate-dim tile padding is catastrophic on TPU.
+    """
+    v = list(vals)
+    n = len(v)
+    for pas in range(n):
+        start = pas % 2
+        for i in range(start, n - 1, 2):
+            lo = jnp.minimum(v[i], v[i + 1])
+            hi = jnp.maximum(v[i], v[i + 1])
+            v[i], v[i + 1] = lo, hi
+    return v
+
+
 def median_filter(img, k: int, strip_rows: int = 264):
-    """k x k median filter; borders keep the input value."""
-    H, W = img.shape
-    out = _strip_apply(img, k, strip_rows, lambda st: jnp.median(st, axis=0))
+    """k x k median filter; borders keep the input value.
+
+    Sorting network inside sequential row strips: the network holds k²
+    live copies, so at full frame size k=7 would need ~21 GB HBM; per
+    strip it is ~0.5 GB.
+    """
+    def fn(st):
+        views = [st[i] for i in range(st.shape[0])]
+        return _oddeven_sort(views)[len(views) // 2]
+
+    out = _strip_apply(img, k, strip_rows, fn)
     return _restore_border(out, img, k // 2)
 
 
@@ -71,14 +98,19 @@ def masked_median_filter(img, bad, k: int = 5, strip_rows: int = 264,
     big = jnp.asarray(jnp.finfo(img.dtype).max, img.dtype)
 
     def fn(st, bst):
-        bmask = bst > 0.5
-        vals = jnp.where(bmask, big, st)
-        vs = jnp.sort(vals, axis=0)
-        n = jnp.sum(~bmask, axis=0)
+        k2 = st.shape[0]
+        bviews = [bst[i] > 0.5 for i in range(k2)]
+        vals = [jnp.where(b, big, st[i]) for i, b in enumerate(bviews)]
+        vs = _oddeven_sort(vals)
+        n = sum(jnp.int32(1) - b.astype(jnp.int32) for b in bviews)
         i_lo = jnp.maximum(n - 1, 0) // 2
         i_hi = n // 2
-        lo = jnp.take_along_axis(vs, i_lo[None], axis=0)[0]
-        hi = jnp.take_along_axis(vs, i_hi[None], axis=0)[0]
+        # rank selection without gathers: one select per sorted slot
+        lo = jnp.zeros_like(vs[0])
+        hi = jnp.zeros_like(vs[0])
+        for r, vr in enumerate(vs):
+            lo = jnp.where(i_lo == r, vr, lo)
+            hi = jnp.where(i_hi == r, vr, hi)
         med = 0.5 * (lo + hi)
         return jnp.where(n > 0, med, jnp.nan)
 

@@ -44,24 +44,64 @@ def binary_closing(m, size: int = 3):
     return binary_erosion(binary_dilation(m, size=size), size=size)
 
 
-def fill_holes(m, iterations: int = 64, size: int = 3):
+def _shift_fill(x, d: int, axis: int, fill: bool):
+    """Shift ``x`` by +d along ``axis`` (d may be negative), pad ``fill``."""
+    H = x.shape[axis]
+    pad = [(0, 0), (0, 0)]
+    if d >= 0:
+        pad[axis] = (d, 0)
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(0, H)
+    else:
+        pad[axis] = (0, -d)
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(-d, H - d)
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+
+def _sweep_reach(reach, open_, axis: int, reverse: bool):
+    """Propagate reachability along an axis through open pixels.
+
+    out[i] = reach[i] | (out[i-1] & open[i]) solved by log-doubling:
+    R ← R | (shift(R, d) & O_run),  O_run ← O_run & shift(O_run, d),
+    d doubling — ~14 elementwise steps at 10.5k², so the flood fill does
+    NOT scale with image size (a dilation-based flood needs O(image)
+    steps and silently declares everything beyond its budget a "hole";
+    lax.associative_scan at this size OOM-kills the TPU compiler).
+    """
+    sgn = -1 if reverse else 1
+    R = reach & open_
+    Orun = open_
+    d = 1
+    n = reach.shape[axis]
+    while d < n:
+        R = R | (_shift_fill(R, sgn * d, axis, False) & Orun)
+        Orun = Orun & _shift_fill(Orun, sgn * d, axis, False)
+        d *= 2
+    return R
+
+
+def fill_holes(m, iterations: int = 3, size: int = 3):
     """Fill background regions not connected to the border.
 
-    Flood-fills the complement from the image border by iterated dilation;
-    ``iterations`` bounds the reachable hole radius (the reference's use
-    case is small holes inside saturated-star blobs, well under the default
-    budget).  Fixed iteration count keeps the program shape static.
+    The complement is flooded from the border with alternating
+    row/column associative sweeps; ``iterations`` counts sweep rounds
+    (one round resolves any monotone path; blob-shaped masks converge
+    in 1-2, pathological spirals need more).
     """
     outside = ~m
-    # seed: border pixels of the complement
     seed = jnp.zeros_like(m)
     seed = seed.at[0, :].set(outside[0, :])
     seed = seed.at[-1, :].set(outside[-1, :])
     seed = seed.at[:, 0].set(outside[:, 0])
     seed = seed.at[:, -1].set(outside[:, -1])
 
-    def body(_, s):
-        return _pool(s, True, size) & outside
+    def round_(_, reach):
+        reach = _sweep_reach(reach, outside, 0, False)
+        reach = _sweep_reach(reach, outside, 0, True)
+        reach = _sweep_reach(reach, outside, 1, False)
+        reach = _sweep_reach(reach, outside, 1, True)
+        return reach
 
-    reach = jax.lax.fori_loop(0, iterations, body, seed)
+    reach = jax.lax.fori_loop(0, max(iterations, 1), round_, seed)
     return m | (outside & ~reach)

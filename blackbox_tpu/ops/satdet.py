@@ -1,17 +1,19 @@
-"""Satellite-trail detection via a shear-sum Radon transform.
+"""Satellite-trail detection via an FFT projection-slice Radon transform.
 
 The reference detects trails either with the ASTA keras U-Net or with
 acstools' Hough-transform fallback (/root/reference/blackbox.py:4090-4254).
-The device-native equivalent here is a Radon transform computed by shearing:
-for every slope ``a`` the image is sheared so lines of that slope become
-rows, and a row sum gives the line integrals — all slopes batched as one
-gather + reduction, steep lines handled on the transpose.  Trails show up
-as peaks of the length-normalised line integral; detected (slope,
-intercept) peaks are rasterised back into a widened trail mask.
+The device-native equivalent: the Radon transform of the (binned,
+background-subtracted, winsorised) significance map, computed through the
+projection-slice theorem — one 2-D FFT, a tiny bilinear sampling of the
+spectrum along each angle's central slice, and batched 1-D inverse FFTs.
+A shear-gather formulation costs ~34 s at 10.5k² on one v5e chip (TPU
+gathers); the FFT route is ~100 ms.  Trails show up as peaks of the
+length-normalised line integral over (angle, offset); peaks are
+rasterised back into a widened trail mask.
 
 A flax U-Net port (ASTA-equivalent) is provided in
-:mod:`blackbox_tpu.models.trailnet`; this Radon path is the dependency-free
-default and the legacy-parity fallback.
+:mod:`blackbox_tpu.models.trailnet`; this Radon path is the
+dependency-free default and the legacy-parity fallback.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -43,36 +46,51 @@ def _bin2d(img, f: int):
     return img[:Hc * f, :Wc * f].reshape(Hc, f, Wc, f).mean(axis=(1, 3))
 
 
-def _shear_profiles(B, n_slopes: int):
-    """Line sums for slopes in [-1, 1]: out[a, b] = sum_x B[x, b + a*x].
+def _radon_fft(stack, n_angles: int):
+    """Radon transform by the projection-slice theorem.
 
-    B is indexed (x, y) = (row, col); lines run along rows with |dy/dx|<=1.
-    Returns (profiles (A, Wb), hit counts (A, Wb)).
+    stack : (B, Hb, Wb) real maps (zero background assumed)
+    Returns (projections (B, n_angles, N), angles (n_angles,)), where
+    projection[b, j, t] integrates stack[b] along the line
+    ``(x-cx)·cosθ_j + (y-cy)·sinθ_j = t - N/2`` (x = column, y = row).
     """
-    Hx, Wy = B.shape
-    slopes = jnp.linspace(-1.0, 1.0, n_slopes)
-    x = jnp.arange(Hx)
-    b = jnp.arange(Wy)
+    Bn, Hb, Wb = stack.shape
+    # 1.5x padding: the projection support spans the image diagonal
+    # (~1.42x), and mod-N wraparound must not alias distinct lines
+    N = int(np.ceil(1.5 * max(Hb, Wb)))
+    N += N % 2
+    Zp = jnp.zeros((Bn, N, N), stack.dtype)
+    Zp = Zp.at[:, :Hb, :Wb].set(stack)      # corner origin
 
-    def one_slope(a):
-        # y index per (x, b); out-of-range contributes nothing
-        yidx = jnp.round(b[None, :] + a * x[:, None]).astype(jnp.int32)
-        valid = (yidx >= 0) & (yidx < Wy)
-        yc = jnp.clip(yidx, 0, Wy - 1)
-        vals = jnp.where(valid, jnp.take_along_axis(
-            jnp.broadcast_to(B, (Hx, Wy)), yc, axis=1), 0.0)
-        return vals.sum(axis=0), valid.sum(axis=0)
+    F = jnp.fft.fftshift(jnp.fft.fft2(Zp), axes=(-2, -1))  # centred freq
 
-    # chunked over slopes to bound the gather transient: vmap inside,
-    # sequential lax.map outside
-    chunk = 8
-    npad = -(-n_slopes // chunk) * chunk
-    sl_pad = jnp.pad(slopes, (0, npad - n_slopes))
-    prof, nhit = jax.lax.map(jax.vmap(one_slope),
-                             sl_pad.reshape(-1, chunk))
-    prof = prof.reshape(npad, Wy)[:n_slopes]
-    nhit = nhit.reshape(npad, Wy)[:n_slopes]
-    return prof, nhit
+    thetas = jnp.linspace(0.0, jnp.pi, n_angles, endpoint=False)
+    u = (jnp.arange(N) - N // 2).astype(jnp.float32)       # (N,)
+    # slice sample positions in the centred spectrum: kx along +x
+    # (columns), ky along +y (rows)
+    kx = u[None, :] * jnp.cos(thetas)[:, None] + N // 2    # (A, N)
+    ky = u[None, :] * jnp.sin(thetas)[:, None] + N // 2
+
+    # bilinear interpolation of the complex spectrum (A*N*4 taps)
+    x0 = jnp.clip(jnp.floor(kx).astype(jnp.int32), 0, N - 2)
+    y0 = jnp.clip(jnp.floor(ky).astype(jnp.int32), 0, N - 2)
+    fx = jnp.clip(kx - x0, 0.0, 1.0)
+    fy = jnp.clip(ky - y0, 0.0, 1.0)
+    flat = F.reshape(Bn, -1)
+    idx = y0 * N + x0                                       # (A, N)
+
+    def tap(off):
+        return flat[:, (idx + off).reshape(-1)].reshape(
+            Bn, *idx.shape)
+
+    S = ((1 - fy) * (1 - fx) * tap(0)
+         + (1 - fy) * fx * tap(1)
+         + fy * (1 - fx) * tap(N)
+         + fy * fx * tap(N + 1))                           # (B, A, N)
+
+    # p[m] integrates along x·cosθ + y·sinθ ≡ m (mod N), corner coords
+    proj = jnp.fft.ifft(jnp.fft.ifftshift(S, axes=-1), axis=-1).real
+    return jnp.maximum(proj, 0.0), thetas, N
 
 
 def detect_trails(image, mask_excl=None,
@@ -124,48 +142,34 @@ def detect_trails(image, mask_excl=None,
     z_var = (int_z2 + c * c * tail) - z_mean ** 2
 
     from jax import lax
-    slopes_grid = jnp.linspace(-1.0, 1.0, p.n_slopes)
-    cand_v, cand_a, cand_b, cand_t = [], [], [], []
-    for transpose in (False, True):
-        Bt = Z.T if transpose else Z
-        Lt = lit.T if transpose else lit
-        prof, nhit = _shear_profiles(Bt, p.n_slopes)
-        litprof, _ = _shear_profiles(Lt, p.n_slopes)
-        nhit = jnp.maximum(nhit, 1)
-        # normalised mean significance along the line; require decent fill
-        line_mean = prof / nhit
-        fill_ok = nhit >= (p.min_fill * Bt.shape[0])
-        # a trail is LONG: most pixels along the line are individually lit
-        # (compact star disks light only a small stretch)
-        lit_ok = (litprof / nhit) >= p.lit_frac
-        # z-score of the line mean against the clipped-noise baseline
-        snr = (line_mean - z_mean) * jnp.sqrt(
-            nhit.astype(jnp.float32) / z_var)
-        snr = jnp.where(fill_ok & lit_ok, snr, 0.0)
+    n_angles = 2 * p.n_slopes
+    ones = jnp.ones_like(Z)
+    if excl is not None:
+        ones = jnp.where(excl, 0.0, ones)
+    proj, thetas, N = _radon_fft(jnp.stack([Z, lit, ones]), n_angles)
+    prof, litprof, nhit = proj[0], proj[1], proj[2]
+    nhit = jnp.maximum(nhit, 1.0)
 
-        # peak picking with non-max suppression in a (5, 11) window
-        padded = jnp.pad(snr, ((2, 2), (5, 5)), constant_values=0)
-        local_max = lax.reduce_window(padded, -jnp.inf, lax.max,
-                                      (5, 11), (1, 1), "VALID")
-        is_peak = (snr >= local_max) & (snr > p.nsigma)
-        vals = jnp.where(is_peak, snr, 0.0).ravel()
-        v, i = jax.lax.top_k(vals, p.max_trails)
-        Wb = snr.shape[1]
-        cand_v.append(v)
-        cand_a.append(slopes_grid[i // Wb])
-        cand_b.append((i % Wb).astype(jnp.float32))
-        cand_t.append(jnp.full(p.max_trails, int(transpose), jnp.int32))
+    # normalised mean significance along the line; require decent fill
+    line_mean = prof / nhit
+    fill_ok = nhit >= (p.min_fill * min(Z.shape))
+    # a trail is LONG: most pixels along the line are individually lit
+    # (compact star disks light only a small stretch)
+    lit_ok = (litprof / nhit) >= p.lit_frac
+    # z-score of the line mean against the clipped-noise baseline
+    snr = (line_mean - z_mean) * jnp.sqrt(nhit / z_var)
+    snr = jnp.where(fill_ok & lit_ok, snr, 0.0)          # (A, N)
 
-    # merge the two orientations, keep the global top max_trails
-    all_v = jnp.concatenate(cand_v)
-    all_a = jnp.concatenate(cand_a)
-    all_b = jnp.concatenate(cand_b)
-    all_t = jnp.concatenate(cand_t)
-    top_v, sel = jax.lax.top_k(all_v, p.max_trails)
+    # peak picking with non-max suppression in a (5, 11) window
+    padded = jnp.pad(snr, ((2, 2), (5, 5)), constant_values=0)
+    local_max = lax.reduce_window(padded, -jnp.inf, lax.max,
+                                  (5, 11), (1, 1), "VALID")
+    is_peak = (snr >= local_max) & (snr > p.nsigma)
+    vals = jnp.where(is_peak, snr, 0.0).ravel()
+    top_v, i = jax.lax.top_k(vals, p.max_trails)
     n_trails = jnp.sum(top_v > 0)
-    slopes = all_a[sel]
-    b0 = all_b[sel]
-    t_idx = all_t[sel]
+    th = thetas[i // N]
+    m0 = (i % N).astype(jnp.float32)
 
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
@@ -174,12 +178,9 @@ def detect_trails(image, mask_excl=None,
 
     def line_mask(k):
         active = top_v[k] > 0
-        s, b, tr = slopes[k], b0[k], t_idx[k]
-        # orientation 0: line is col = s*row + b (in binned coords)
-        # orientation 1 (transpose): row = s*col + b
-        d0 = jnp.abs(xx / f - (s * yy / f + b))
-        d1 = jnp.abs(yy / f - (s * xx / f + b))
-        d = jnp.where(tr == 0, d0, d1)
+        # binned corner-origin line coordinate, wrap-aware mod-N distance
+        t = (xx / f) * jnp.cos(th[k]) + (yy / f) * jnp.sin(th[k])
+        d = jnp.abs(jnp.mod(t - m0[k] + N / 2.0, float(N)) - N / 2.0)
         return active & (d * f <= hw)
 
     masks = jax.vmap(line_mask)(jnp.arange(p.max_trails))

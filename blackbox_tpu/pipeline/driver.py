@@ -187,6 +187,23 @@ class Pipeline:
                 mask | maskbits.SATELLITE, mask)
             h["ASTA-P"] = (True, "U-Net trail segmentation applied?")
         stats = {k: np.asarray(v) for k, v in stats.items()}
+        sci_np = np.asarray(sci, np.float32)
+        mask_np = np.asarray(mask, np.uint8)
+
+        # exact component counts on the host (the device-side Euler
+        # estimate needs hole-free masks, which flood-filling cannot
+        # guarantee at 10.5k²); the mask is fetched for writing anyway
+        try:
+            from scipy import ndimage
+            from blackbox_tpu.core import maskbits as mb
+            eight = np.ones((3, 3), np.int8)
+            stats["ncosmics"] = ndimage.label(
+                (mask_np & mb.COSMIC) != 0, eight)[1]
+            stats["nobj_sat"] = ndimage.label(
+                (mask_np & mb.SATURATED) != 0, eight)[1]
+        except ImportError:
+            pass
+
         exptime = float(h["EXPTIME"]) if imgtype == "object" else 1.0
         pixscale = self.settings.pixscale
         stamp_calibration(h, stats, self.ctx.gains, pixscale, exptime)
@@ -215,9 +232,6 @@ class Pipeline:
             get_backend(lg).write_bytes(lg, "\n".join(lines).encode()
                                         + b"\n")
             products.append(lg)
-
-        sci_np = np.asarray(sci, np.float32)
-        mask_np = np.asarray(mask, np.uint8)
 
         # calibration frames: publish and return (blackbox.py:1628-1717)
         if imgtype in ("bias", "dark", "flat"):

@@ -150,7 +150,7 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
     # component count only for hole-free masks (otherwise NCOSMICS can
     # even go negative)
     from blackbox_tpu.ops.morphology import fill_holes
-    stats["ncosmics"] = euler_count(fill_holes(crmask, iterations=16))
+    stats["ncosmics"] = euler_count(fill_holes(crmask))
 
     clean, mask_m = jax.lax.optimization_barrier((clean, mask_m))
 

@@ -238,11 +238,19 @@ def make_raw_science(geom: CCDGeometry, rng: np.random.Generator,
         ok = (txs >= 0) & (txs < W) & (tys >= 0) & (tys < H)
         tr_img = np.zeros((H, W), np.float32)
         tr_img[tys[ok], txs[ok]] = 4000.0
-        # widen to ~3 px
+        # realistic PSF-convolved cross-section (sigma ~ fwhm/2.355):
+        # a 1-px-sharp line reads as a cosmic ray to L.A.Cosmic, which
+        # real trails do not
+        sig = max(fwhm / 2.355, 0.8)
+        r = int(3 * sig + 1)
+        g = np.exp(-0.5 * (np.arange(-r, r + 1) / sig) ** 2)
+        g /= g.sum()
         tr = tr_img
-        tr = np.maximum(np.maximum(tr, np.roll(tr, 1, 0)), np.roll(tr, -1, 0))
-        tr = np.maximum(np.maximum(tr, np.roll(tr, 1, 1)), np.roll(tr, -1, 1))
-        chan += geom.disassemble(tr)
+        for ax in (0, 1):
+            tr = np.apply_along_axis(
+                lambda v: np.convolve(v, g, mode="same"), ax, tr)
+        tr *= 4000.0 / max(tr.max(), 1e-9)
+        chan += geom.disassemble(tr.astype(np.float32))
         trail_params = (x0, y0, x1, y1, 4000.0)
 
     # saturation clipping happens in ADU below
