@@ -32,6 +32,9 @@ class LACosmicParams:
     objlim: float = 3.0
     niter: int = 3
     strip_rows: int = 264
+    # opt-in fused Pallas kernel (blackbox_tpu.pallas.lacosmic);
+    # experimental on current Mosaic — see that module's docstring
+    use_pallas: bool = False
 
 
 def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams()):
@@ -44,6 +47,11 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams()):
     Returns (cleaned data, crmask bool, per-iteration detection counts).
     """
     p = params
+    if p.use_pallas:
+        from blackbox_tpu.pallas.lacosmic import lacosmic_pallas
+        return lacosmic_pallas(data, inmask, rdnoise, sigclip=p.sigclip,
+                               sigfrac=p.sigfrac, objlim=p.objlim,
+                               niter=p.niter)
     crmask = jnp.zeros(data.shape, bool)
     clean = data
     if inmask is None:

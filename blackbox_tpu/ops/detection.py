@@ -122,6 +122,9 @@ def segment_catalog(image_bksub, bkg_std, seg, n_sources,
     yy = yy.ravel().astype(jnp.float32)
     xx = xx.ravel().astype(jnp.float32)
 
+    # separate scatter passes: packing the eight quantities on a
+    # trailing axis would create an f32[111M, 8] temp whose T(8,128)
+    # tile padding needs 57 GB on TPU
     seg_sum = lambda v: jax.ops.segment_sum(v, sid, num_segments=cap)  # noqa
     npix = seg_sum(jnp.ones_like(img))
     flux = seg_sum(img)

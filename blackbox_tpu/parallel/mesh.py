@@ -91,3 +91,30 @@ def shard_batch(batch_pytree, mesh: Mesh):
             mesh, P(*(("data",) + (None,) * (x.ndim - 1)))))
 
     return jax.tree_util.tree_map(put, batch_pytree)
+
+
+def make_batched_reduce(ctx, mesh: Mesh, with_catalog: bool = True):
+    """Jitted multi-frame reduce, batch axis sharded over 'data'.
+
+    This is the production throughput path: the per-frame program vmaps
+    over a frame stack and GSPMD partitions the batch across the mesh —
+    N chips reduce N frames per step with no cross-device traffic (the
+    reference runs one SLURM job per frame instead; SURVEY.md §2.3).
+
+    Returns ``fn(chan (B,C,y,x), osv, osh) -> pytree`` with a leading
+    batch axis on every output; call :func:`shard_batch` on the inputs.
+    """
+    from blackbox_tpu.pipeline.reduce import (
+        calibrate_detector, extract_catalog)
+
+    def one(chan, osv, osh):
+        sci, mask_m, stats = calibrate_detector(
+            ctx, chan, osv, osh, None, None, None, None)
+        out = {"image": sci, "mask": mask_m, "stats": stats}
+        if with_catalog:
+            ext = extract_catalog(ctx, sci, mask_m)
+            out["stats"] = {**stats, **ext["stats"]}
+            out["cat"] = ext["cat"]
+        return out
+
+    return jax.jit(jax.vmap(one))

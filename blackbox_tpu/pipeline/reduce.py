@@ -174,13 +174,19 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
 
     clean, mask_m = jax.lax.optimization_barrier((clean, mask_m))
 
-    # edge pixels -> channel median (reference blackbox.py:1968-1974)
+    # edge pixels -> channel median (reference blackbox.py:1968-1974);
+    # the median comes from an 8x8-subsampled grid — sorting all 7M
+    # pixels per channel costs seconds on TPU for no statistical gain
     ch = geom.disassemble(clean)
     mk = geom.disassemble(mask_m)
+    ch_s = ch[:, ::8, ::8]
+    mk_s = mk[:, ::8, ::8]
     C = ch.shape[0]
-    edge = (mk & maskbits.EDGE) != 0
-    chan_med = masked_median(ch.reshape(C, -1), edge.reshape(C, -1), axis=1)
+    edge_s = (mk_s & maskbits.EDGE) != 0
+    chan_med = masked_median(ch_s.reshape(C, -1),
+                             edge_s.reshape(C, -1), axis=1)
     chan_med = jnp.nan_to_num(chan_med)
+    edge = (mk & maskbits.EDGE) != 0
     ch = jnp.where(edge, chan_med[:, None, None], ch)
     clean = geom.assemble(ch)
 

@@ -241,14 +241,9 @@ def make_raw_science(geom: CCDGeometry, rng: np.random.Generator,
         # realistic PSF-convolved cross-section (sigma ~ fwhm/2.355):
         # a 1-px-sharp line reads as a cosmic ray to L.A.Cosmic, which
         # real trails do not
+        from scipy import ndimage
         sig = max(fwhm / 2.355, 0.8)
-        r = int(3 * sig + 1)
-        g = np.exp(-0.5 * (np.arange(-r, r + 1) / sig) ** 2)
-        g /= g.sum()
-        tr = tr_img
-        for ax in (0, 1):
-            tr = np.apply_along_axis(
-                lambda v: np.convolve(v, g, mode="same"), ax, tr)
+        tr = ndimage.gaussian_filter(tr_img, sig, truncate=3.0)
         tr *= 4000.0 / max(tr.max(), 1e-9)
         chan += geom.disassemble(tr.astype(np.float32))
         trail_params = (x0, y0, x1, y1, 4000.0)

@@ -198,3 +198,21 @@ def test_run_day_and_obslog(tmp_path):
     t = read_table(tree, "ML1", "cat")
     assert len(t["FILENAME"]) == 1     # the science frame
     assert len(read_table(tree, "ML1", "bias")["FILENAME"]) == 3
+
+
+def test_pubsub_event_parsing():
+    from blackbox_tpu.orchestration.pubsub import parse_bucket_event
+    # attribute form (what the reference consumes)
+    p = parse_bucket_event(b"", {"bucketId": "blackgem-raw",
+                                 "objectId": "2026/03/01/BG2_x.fits.fz",
+                                 "eventType": "OBJECT_FINALIZE"})
+    assert p == "gs://blackgem-raw/2026/03/01/BG2_x.fits.fz"
+    # JSON payload form
+    p = parse_bucket_event(
+        b'{"bucket": "b", "name": "f.fits.fz"}')
+    assert p == "gs://b/f.fits.fz"
+    # filtered: wrong suffix, wrong event, garbage
+    assert parse_bucket_event(b'{"bucket":"b","name":"f.jpg"}') is None
+    assert parse_bucket_event(b"", {"bucketId": "b", "objectId": "f.fits.fz",
+                                    "eventType": "OBJECT_DELETE"}) is None
+    assert parse_bucket_event(b"not json") is None
