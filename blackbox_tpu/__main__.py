@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build masters for this date and exit")
     p.add_argument("--obslog", default=None,
                    help="write the obslog for this date and exit")
+    p.add_argument("--buildref", default=None, metavar="FIELD_ID",
+                   help="build the reference co-add for this field")
     p.add_argument("--data_root", default=".",
                    help="root of the per-telescope data tree")
     p.add_argument("--geometry", default="meerlicht",
@@ -84,6 +86,16 @@ def main(argv=None) -> int:
         path = create_obslog(tree, args.obslog, args.telescope)
         print(path)
         return 0
+
+    if args.buildref:
+        from blackbox_tpu.pipeline.buildref import build_reference
+        ok = True
+        for filt in args.filters.split(","):
+            status, info = build_reference(tree, args.telescope,
+                                           int(args.buildref), filt)
+            print(f"field {args.buildref} {filt}: {status} {info}")
+            ok &= status in ("published", "not_deeper")
+        return 0 if ok else 1
 
     if args.master_date:
         from blackbox_tpu.orchestration.scheduler import create_masters

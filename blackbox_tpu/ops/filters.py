@@ -171,3 +171,22 @@ def dilate(m, k: int = 3):
     x = jnp.pad(m.astype(jnp.float32), p)
     out = lax.reduce_window(x, -jnp.inf, lax.max, (k, k), (1, 1), "VALID")
     return out > 0.5
+
+
+def fixpix(img, mask_bad, k: int = 5, strip_rows: int = 264,
+           iterations: int = 2):
+    """Interpolate masked pixels from their good neighbours.
+
+    zogy ``fixpix`` equivalent (consumed by the reference's co-add prep,
+    /root/reference/buildref.py:2347, 2647): masked pixels are replaced
+    by the masked k x k median of good neighbours; a second pass fills
+    pixels whose whole neighbourhood was bad.
+    """
+    out = img
+    bad = mask_bad
+    for _ in range(iterations):
+        repl = masked_median_filter(out, bad, k, strip_rows)
+        out = jnp.where(bad, repl, out)
+        # pixels still at the fallback (all-bad neighbourhood) stay bad
+        bad = bad & (repl == img)
+    return out

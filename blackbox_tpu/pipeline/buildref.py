@@ -240,6 +240,13 @@ def load_ref_input(red_path: str, bkg_boxsize: int = 256) -> RefInput:
         cy, cx = img.shape[0] / 2.0, img.shape[1] / 2.0
         psf_stamp = np.asarray(psf_at(model, cx, cy))
 
+    # saturated-pixel interpolation before stacking (the reference runs
+    # zogy.fixpix in prep_inputimages, buildref.py:2347)
+    from blackbox_tpu.core import maskbits
+    from blackbox_tpu.ops.filters import fixpix
+    satbad = (mask & (maskbits.SATURATED | maskbits.SAT_CONNECTED)) != 0
+    img = fixpix(img, satbad)
+
     return RefInput(
         image=img - bkg, bkg_std=bstd, mask=mask,
         wcs=TanWCS.from_header(h),

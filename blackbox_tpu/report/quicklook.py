@@ -109,3 +109,20 @@ def transient_thumbnail_grid(path: str, red, ref, D, scorr, xs, ys,
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     Image.fromarray(grid, "L").save(path)
     return path
+
+
+def save_rgb(path: str, red, green, blue, quality: int = 88):
+    """Colour figure from three filter co-adds (reference prep_colfig,
+    /root/reference/buildref.py:906-978): per-channel zscale stretch."""
+    from PIL import Image
+
+    chans = []
+    for img in (red, green, blue):
+        z1, z2 = zscale(img)
+        a = np.clip((np.asarray(img, np.float32) - z1)
+                    / max(z2 - z1, 1e-9), 0, 1)
+        chans.append((a[::-1] * 255).astype(np.uint8))
+    rgb = np.stack(chans, axis=-1)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(rgb, "RGB").save(path, quality=quality)
+    return path
