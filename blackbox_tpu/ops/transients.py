@@ -80,12 +80,28 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
     pos_sum = seg_sum(jnp.maximum(s, 0.0))
     neg_sum = seg_sum(jnp.maximum(-s, 0.0))
 
+    # position = the segment's |Scorr| PEAK pixel (X_PEAK semantics):
+    # star-subtraction residuals sprawl, and an |Scorr|-weighted
+    # centroid of a big blob can sit several px from the transient
+    peak_of = jax.ops.segment_max(a, sid, num_segments=cap)
+    is_peak = (a >= peak_of[sid] - 1e-6) & (sid > 0)
+    idx_flat = jnp.arange(H * W, dtype=jnp.int32)
+    peak_idx = jax.ops.segment_min(
+        jnp.where(is_peak, idx_flat, jnp.int32(H * W)), sid,
+        num_segments=cap)
+    peak_idx = jnp.clip(peak_idx, 0, H * W - 1)
+    xp = (peak_idx % W).astype(jnp.float32)
+    yp = (peak_idx // W).astype(jnp.float32)
+
     wsafe = jnp.maximum(wsum, 1e-9)
-    xc = wx / wsafe
-    yc = wy / wsafe
-    x2 = jnp.maximum(wxx / wsafe - xc ** 2, 1e-6)
-    y2 = jnp.maximum(wyy / wsafe - yc ** 2, 1e-6)
-    xy = wxy / wsafe - xc * yc
+    xc = jnp.where(peak_idx < H * W, xp, wx / wsafe)
+    yc = jnp.where(peak_idx < H * W, yp, wy / wsafe)
+    # central second moments need the CENTROID, not the peak
+    xm = wx / wsafe
+    ym = wy / wsafe
+    x2 = jnp.maximum(wxx / wsafe - xm ** 2, 1e-6)
+    y2 = jnp.maximum(wyy / wsafe - ym ** 2, 1e-6)
+    xy = wxy / wsafe - xm * ym
     t1 = 0.5 * (x2 + y2)
     t2 = jnp.sqrt(jnp.maximum(0.25 * (x2 - y2) ** 2 + xy ** 2, 0.0))
     elong = jnp.sqrt(jnp.maximum(t1 + t2, 1e-6) /

@@ -261,7 +261,7 @@ def load_ref_input(red_path: str, bkg_boxsize: int = 256) -> RefInput:
 def build_reference(tree, telescope: str, field_id: int, filt: str,
                     s: BuildRefSettings = BuildRefSettings(),
                     out_shape=None, pixscale: float = 0.5642,
-                    dlimmag_min: float = 0.1):
+                    dlimmag_min: float = 0.1, extract_ctx=None):
     """Full prep_ref flow: select -> co-add -> QC -> publication gate.
 
     Mirrors /root/reference/buildref.py:1013-1420: inputs come from the
@@ -348,8 +348,34 @@ def build_reference(tree, telescope: str, field_id: int, filt: str,
     flag = run_qc_check(h, telescope, check_key_type="ref")
 
     get_backend(rdir).make_dir(rdir)
-    from blackbox_tpu.astro.time import mjd2date
     stamp = f"{telescope}_{field_id:05d}_{filt}_coadd"
+
+    # source extraction + PSF on the co-add (the reference runs zogy in
+    # ref-only mode on the combined image, buildref.py:1213-1242); the
+    # resulting catalog/PSF are what the transient path consumes
+    if extract_ctx is not None:
+        import jax
+        from blackbox_tpu.io.psffits import write_psf
+        from blackbox_tpu.pipeline.catalogs import (
+            device_cat_to_columns, write_catalog)
+        from blackbox_tpu.pipeline.reduce import extract_catalog
+        ext = jax.jit(lambda a, m: extract_catalog(extract_ctx, a, m))(
+            out["image"], out["mask"])
+        estats = {k: float(np.asarray(v))
+                  for k, v in ext["stats"].items()}
+        h["NOBJECTS"] = (int(estats["nobjects"]), "detected sources")
+        h["S-SEEING"] = (round(estats["s_seeing_pix"] * pixscale, 3),
+                         "[arcsec] co-add seeing")
+        cat = {k: np.asarray(v) for k, v in ext["cat"].items()}
+        cols = device_cat_to_columns(
+            cat, out["zp"], wcs=wcs_out,
+            n_aper=len(extract_ctx.apphot_radii))
+        write_catalog(os.path.join(rdir, stamp + "_red_cat.fits"),
+                      cols, h, "ref")
+        if "psf" in ext:
+            write_psf(os.path.join(rdir, stamp + "_psf.fits"),
+                      ext["psf"], h)
+
     red_p = os.path.join(rdir, stamp + "_red.fits.fz")
     write_rice(red_p, np.asarray(out["image"], np.float32), h,
                qlevel=16.0)

@@ -75,7 +75,7 @@ class Pipeline:
                  ext_coeff: float = 0.0, subtract_refs: bool = True,
                  sso_elements: Optional[list] = None,
                  update_headertables: bool = True,
-                 trailnet_params=None):
+                 trailnet_params=None, vetnet_params=None):
         import jax
 
         self.tree = tree
@@ -94,6 +94,8 @@ class Pipeline:
         # optional U-Net trail segmentation (ASTA equivalent) applied on
         # top of the Radon detector's mask
         self.trailnet_params = trailnet_params
+        # optional real/bogus CNN (MeerCRAB equivalent, MC-P contract)
+        self.vetnet_params = vetnet_params
 
         ctx_ = self.ctx
         self._calibrate = jax.jit(
@@ -417,10 +419,17 @@ class Pipeline:
         rcols = next(d for d, hh in ref_cat if isinstance(d, dict))
         ref_wcs = TanWCS.from_header(ref_h)
 
-        # ref background: stored images are background-subtracted refs
+        # ref background: stored images are background-subtracted refs;
+        # the co-add ships its per-pixel STD map
         H, W = ref_img.shape
-        ref_std = np.full((H, W), max(float(ref_h.get("S-BKGSTD", 10.0)),
-                                      1e-3), np.float32)
+        std_p = os.path.join(rd, ref_base + "_bkgstd.fits.fz")
+        try:
+            ref_std = np.asarray(read_rice(std_p)[0], np.float32)
+            ref_std = np.clip(ref_std, 1e-3, None)
+        except Exception:
+            ref_std = np.full((H, W),
+                              max(float(ref_h.get("S-BKGSTD", 10.0)),
+                                  1e-3), np.float32)
 
         new_in = SubtractionInput(
             image=sci, bkg=ext["bkg"], bkg_std=ext["bkg_std"],
@@ -482,6 +491,20 @@ class Pipeline:
             "ELONG_ZOGY": tc["elong"][sel].astype(np.float32),
             "NPIX_ZOGY": tc["npix"][sel].astype(np.int32),
         }
+        # real/bogus CNN scoring (reference: MeerCRAB via set_zogy
+        # ML_calc_prob -> MC-P keyword, set_qc.py:129)
+        if self.vetnet_params is not None and len(sel):
+            from blackbox_tpu.models.vetnet import score_transients
+            probs = np.asarray(score_transients(
+                self.vetnet_params, sci, res.ref_remapped, res.D,
+                res.Scorr, jnp.asarray(tc["x"][sel]),
+                jnp.asarray(tc["y"][sel])))
+            tcols["CLASS_REAL"] = probs.astype(np.float32)
+            h["MC-P"] = (True, "transients ML-classified?")
+            h["MC-MED"] = (round(float(np.median(probs)), 3)
+                           if len(probs) else 0.0,
+                           "median P(real) of candidates")
+
         # known-asteroid cross-match (reference call_match2SSO,
         # blackbox.py:3258-3275)
         if self.sso_elements:

@@ -95,6 +95,7 @@ class SubtractionResult:
     Fpsferr: jnp.ndarray
     trans_cat: dict
     stats: dict
+    ref_remapped: jnp.ndarray = None    # bkg-subtracted ref on new grid
 
 
 def run_subtraction(new: SubtractionInput, ref: SubtractionInput,
@@ -140,11 +141,11 @@ def run_subtraction(new: SubtractionInput, ref: SubtractionInput,
                             var_new=var_new, var_ref=var_ref, params=zp)
         cat, ntrans = extract_transients(out, new_mask, ref_mask_r,
                                          trans_params)
-        return out, cat, ntrans, ref_mask_r
+        return out, cat, ntrans, ref_mask_r, ref_sub
 
     sn = jnp.median(new.bkg_std)
     sr = jnp.median(ref.bkg_std)
-    out, cat, ntrans, ref_mask_r = device_step(
+    out, cat, ntrans, ref_mask_r, ref_sub = device_step(
         new.image, new.bkg, new.bkg_std, new.mask,
         ref.image, ref.bkg, ref.bkg_std, ref.mask,
         ys, xs, psf_n, psf_r, sn, sr, jnp.float32(fratio))
@@ -159,4 +160,5 @@ def run_subtraction(new: SubtractionInput, ref: SubtractionInput,
                   for k, v in transient_stats(cat, ntrans).items()})
     return SubtractionResult(D=out["D"], Scorr=out["Scorr"],
                              Fpsf=out["Fpsf"], Fpsferr=out["Fpsferr"],
-                             trans_cat=cat, stats=stats)
+                             trans_cat=cat, stats=stats,
+                             ref_remapped=ref_sub)
