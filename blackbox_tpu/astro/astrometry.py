@@ -6,8 +6,9 @@ arcmin (reference blackbox.py:5599-5647 checks it against the field grid),
 so the production path here is a *seeded* solve: project the reference
 stars (Gaia) around the pointing, match the brightest detections by
 position with an iteratively refined linear transform, and fit a TAN WCS
-(CD matrix + CRVAL) by least squares.  A C++ quad-hash blind-solve
-fallback lives in native/quadmatch for lost-pointing recovery.
+(CD matrix + CRVAL) by least squares.  The C++ quad-hash blind-solve
+fallback for lost-pointing recovery lives in
+:mod:`blackbox_tpu.astro.blindsolve` (csrc/quadmatch.cpp).
 
 Runs on host in float64: the solve involves a few hundred stars — device
 offload would be all launch overhead.

@@ -75,7 +75,8 @@ class Pipeline:
                  ext_coeff: float = 0.0, subtract_refs: bool = True,
                  sso_elements: Optional[list] = None,
                  update_headertables: bool = True,
-                 trailnet_params=None, vetnet_params=None):
+                 trailnet_params=None, vetnet_params=None,
+                 blind_index=None):
         import jax
 
         self.tree = tree
@@ -96,6 +97,9 @@ class Pipeline:
         self.trailnet_params = trailnet_params
         # optional real/bogus CNN (MeerCRAB equivalent, MC-P contract)
         self.vetnet_params = vetnet_params
+        # optional QuadIndex for the blind-solve fallback when the
+        # seeded solve fails (lost pointing; Astrometry.net equivalent)
+        self.blind_index = blind_index
 
         ctx_ = self.ctx
         self._calibrate = jax.jit(
@@ -278,6 +282,19 @@ class Pipeline:
                             cat["flux_iso"][sel],
                             refcat["ra"], refcat["dec"], refcat["mag"],
                             wcs)
+            if not sol.ok and self.blind_index is not None:
+                # lost pointing: blind quad-hash solve (the reference
+                # falls back to Astrometry.net's blind mode here)
+                from blackbox_tpu.astro.blindsolve import blind_solve
+                sol = blind_solve(cat["x"][sel], cat["y"][sel],
+                                  cat["flux_iso"][sel],
+                                  self.blind_index, sci_np.shape,
+                                  pixscale_hint=pixscale)
+                if sol.ok:
+                    h["A-BLIND"] = (True,
+                                    "WCS from blind quad-hash solve")
+                    refcat = self.ref_catalog(sol.wcs.crval1,
+                                              sol.wcs.crval2, radius)
             if sol.ok:
                 wcs = sol.wcs
                 h["A-P"] = True
