@@ -27,7 +27,6 @@ def main():
         ReduceContext, calibrate_detector, extract_catalog)
     from blackbox_tpu.ops.cosmics import LACosmicParams
     from blackbox_tpu.ops.detection import DetectParams
-    from blackbox_tpu.synth import make_raw_science
 
     geom = MEERLICHT
     s = ReductionSettings(geometry=geom)
@@ -37,13 +36,13 @@ def main():
         det_params=DetectParams(max_sources=20000, label_iters=32),
     )
 
-    rng = np.random.default_rng(12345)
-    raw, truth = make_raw_science(geom, rng, nstars=4000, ncosmics=800,
-                                  trail=True, nsat=20)
-    chan, osv, osh = geom.split_raw(raw)
-    args = (jax.device_put(jnp.asarray(chan)),
-            jax.device_put(jnp.asarray(osv)),
-            jax.device_put(jnp.asarray(osh)))
+    # frame generated ON DEVICE: the host generator's ~450 MB
+    # host->device transfer dominates setup over a tunneled TPU link
+    from blackbox_tpu.synth.device import make_science_device
+    key = jax.random.PRNGKey(12345)
+    gen = jax.jit(lambda k: make_science_device(
+        k, geom, nstars=4000, ncosmics=800, trail=True, nsat=20)[:3])
+    args = jax.block_until_ready(gen(key))
     print(f"# setup {time.time() - t_setup:.1f}s on {jax.devices()[0]}",
           file=sys.stderr)
 

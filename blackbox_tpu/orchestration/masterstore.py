@@ -80,8 +80,19 @@ class MasterStore:
             return None, None
         key = (path,)
         if key not in self._cache:
-            self._cache[key] = read_rice(path)
+            data, h = read_rice(path)
+            self._stamp_provenance(h, path)
+            self._cache[key] = (data, h)
         return self._cache[key]
+
+    @staticmethod
+    def _stamp_provenance(h, path: str) -> None:
+        """MASTERF/MDATE: which master file this is, and its night."""
+        base = os.path.basename(path)
+        h["MASTERF"] = (base, "master frame file")
+        m = re.search(r"(\d{8})", base)
+        if m:
+            h["MDATE"] = (m.group(1), "master frame night (yyyymmdd)")
 
     # ---- building ----
 
@@ -127,7 +138,9 @@ class MasterStore:
         path = self.master_path(imgtype, date, filt)
         ok, found = already_exists(path, get_filename=True)
         if ok and not self._is_red(found):
-            return read_rice(found)
+            data, header = read_rice(found)
+            self._stamp_provenance(header, found)
+            return data, header
 
         files = self.individual_cals(imgtype, date, filt)
         if len(files) >= self.policy.ncal_min:
@@ -135,6 +148,7 @@ class MasterStore:
                                        norm_sec)
             write_rice(path, np.asarray(data, np.float32), header,
                        qlevel=32.0)
+            self._stamp_provenance(header, path)
             return data, header
         # fallback: nearest older master
         data, header = self.load(imgtype, date, filt)
@@ -167,10 +181,9 @@ class MasterStore:
             master, stats = M.master_flat(cube, geom, norm_sec)
         else:                                      # bias and dark
             master, stats = M.master_bias(cube)
-        for k, v in stats.items():
-            a = np.asarray(v)
-            if a.ndim == 0:
-                h[k.upper()[:8]] = (round(float(a), 4), "")
+        from blackbox_tpu.pipeline.headers import stamp_master
+        stamp_master(h, imgtype,
+                     {k: np.asarray(v) for k, v in stats.items()})
         from blackbox_tpu.qc.engine import run_qc_check
         run_qc_check(h, tel, check_key_type=f"m{imgtype}")
         return np.asarray(geom.assemble(master)), h

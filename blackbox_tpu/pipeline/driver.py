@@ -18,6 +18,7 @@ two jitted XLA programs reused across frames.
 from __future__ import annotations
 
 import dataclasses
+import datetime
 import logging
 import os
 import time
@@ -164,23 +165,47 @@ class Pipeline:
             np.asarray(raw, np.float32))
         args = (jnp.asarray(chan), jnp.asarray(osv), jnp.asarray(osh))
 
+        def _master_keys(tag: str, mh):
+            # provenance of the master applied (reference MBIAS-F /
+            # MB-NDAYS, MFLAT-F / MF-NDAYS keys, blackbox.py:1688, 1835)
+            if mh is None:
+                return
+            if "MASTERF" in mh:
+                h[f"M{tag}-F"] = (str(mh["MASTERF"]),
+                                  f"master {tag.lower()} applied")
+            if "MDATE" in mh:
+                try:
+                    d0 = datetime.date(int(date[:4]), int(date[4:6]),
+                                       int(date[6:8]))
+                    md = str(mh["MDATE"])
+                    d1 = datetime.date(int(md[:4]), int(md[4:6]),
+                                       int(md[6:8]))
+                    h[f"M{tag[0]}-NDAYS"] = (
+                        abs((d0 - d1).days),
+                        f"[days] age of master {tag.lower()}")
+                except (ValueError, TypeError):
+                    pass
+
         h["BIAS-P"] = (False, "bias corrected?")
         h["FLAT-P"] = (False, "flat-fielded?")
         mbias = mflat = None
         if imgtype == "object" or imgtype == "flat":
             if self.ctx.subtract_mbias:
-                mb, _ = self.masters.ensure_master("bias", date, self.geom)
+                mb, mbh = self.masters.ensure_master("bias", date,
+                                                     self.geom)
                 if mb is not None:
                     mbias = jnp.asarray(self.geom.disassemble(
                         np.asarray(mb, np.float32)))
                     h["BIAS-P"] = True
+                    _master_keys("BIAS", mbh)
         if imgtype == "object":
-            mf, _ = self.masters.ensure_master("flat", date, self.geom,
-                                               filt=filt)
+            mf, mfh = self.masters.ensure_master("flat", date, self.geom,
+                                                 filt=filt)
             if mf is not None:
                 mflat = jnp.asarray(self.geom.disassemble(
                     np.asarray(mf, np.float32)))
                 h["FLAT-P"] = True
+                _master_keys("FLAT", mfh)
 
         sci, mask, stats = self._calibrate(*args, mbias, mflat)
         if self.trailnet_params is not None and imgtype == "object":
@@ -241,6 +266,20 @@ class Pipeline:
 
         # calibration frames: publish and return (blackbox.py:1628-1717)
         if imgtype in ("bias", "dark", "flat"):
+            if imgtype == "flat":
+                # flat-field quality statistics (reference get_flatstats,
+                # blackbox.py:1770-1785 -> 3661-3820)
+                from blackbox_tpu.ops.flatstats import flat_statistics
+                from blackbox_tpu.pipeline.headers import stamp_flatstats
+                H, W = self.geom.red_shape
+                statsec = (slice(H // 2 - H // 8, H // 2 + H // 8),
+                           slice(W // 2 - W // 8, W // 2 + W // 8))
+                subsize = max(min(H, W) // 8, 8)
+                fs = flat_statistics(jnp.asarray(sci_np),
+                                     jnp.asarray(mask_np), self.geom,
+                                     statsec, subsize)
+                stamp_flatstats(h, {k: np.asarray(v)
+                                    for k, v in fs.items()})
             run_qc_check(h, self.telescope, check_key_type=imgtype)
             red = os.path.join(rdir, base + "_red.fits.fz")
             write_rice(red, sci_np, h, qlevel=32.0)

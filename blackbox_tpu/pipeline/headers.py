@@ -185,6 +185,103 @@ def stamp_calibration(h: Header, stats: dict, gains, pixscale: float,
     return h
 
 
+def stamp_flatstats(h: Header, fs: dict) -> Header:
+    """Write the flat-field statistics keyword set.
+
+    Keyword contract of the reference's ``get_flatstats``
+    (/root/reference/blackbox.py:3661-3820): NORMSEC medians, full-image
+    stats, per-channel FLATM/S/RS, and the subimage-grid vignetting
+    metrics RDIF-MAX / RSTD-MAX.
+    """
+    def num(v, nd=4):
+        x = float(np.asarray(v))
+        return round(x, nd) if np.isfinite(x) else "None"
+
+    h["MEDSEC"] = (num(fs["medsec"], 2), "[e-] median flat over STATSEC")
+    h["STDSEC"] = (num(fs["stdsec"], 2), "[e-] sigma (STD) flat over STATSEC")
+    h["RSTDSEC"] = (num(fs["rstdsec"], 5), "relative sigma (STD) flat "
+                    "over STATSEC")
+    h["FLATMED"] = (num(fs["flatmed"], 2), "[e-] median flat")
+    h["FLATSTD"] = (num(fs["flatstd"], 2), "[e-] sigma (STD) flat")
+    h["FLATRSTD"] = (num(fs["flatrstd"], 5), "relative sigma (STD) flat")
+    flatm = np.asarray(fs["flatm"])
+    flats = np.asarray(fs["flats"])
+    flatrs = np.asarray(fs["flatrs"])
+    for c in range(len(flatm)):
+        h[f"FLATM{c + 1}"] = (num(flatm[c], 2),
+                              f"[e-] channel {c + 1} median flat")
+    for c in range(len(flats)):
+        h[f"FLATS{c + 1}"] = (num(flats[c], 2),
+                              f"[e-] channel {c + 1} sigma (STD) flat")
+    for c in range(len(flatrs)):
+        h[f"FLATRS{c + 1}"] = (num(flatrs[c], 5),
+                               f"channel {c + 1} relative sigma (STD) flat")
+    h["NSUBSTOT"] = (int(fs["nsubstot"]),
+                     "total number of subimages in grid")
+    h["NSUBS"] = (int(fs["nsubs"]),
+                  "number of interior subimages used")
+    h["RDIF-MAX"] = (num(fs["rdif_max"], 5),
+                     "max. relative median difference between subimages")
+    h["RSTD-MAX"] = (num(fs["rstd_max"], 5),
+                     "max. relative sigma (STD) of subimages")
+    return h
+
+
+def stamp_master(h: Header, imgtype: str, stats: dict) -> Header:
+    """Write the master-frame keyword set.
+
+    Contract of the reference's ``master_prep`` header section
+    (/root/reference/blackbox.py:5076-5231): NBIAS/NDARK/NFLAT frame
+    counts, master mean/STD overall and per channel (MBIASM/MBRDN,
+    MDARKM/MDRDN), and the flat channel gain-correction factors
+    GAINCF1..16.
+    """
+    def num(v, nd=4):
+        x = float(np.asarray(v))
+        return round(x, nd) if np.isfinite(x) else "None"
+
+    if imgtype == "bias":
+        h["NBIAS"] = (int(stats["nmbias"]),
+                      "number of bias frames combined")
+        mean = np.asarray(stats["mbias_chan_mean"])
+        std = np.asarray(stats["mbias_chan_std"])
+        h["MBMEAN"] = (num(stats["mbias_mean"], 3),
+                       "[e-] mean master bias")
+        h["MBRDN"] = (num(stats["mbias_std"], 3),
+                      "[e-] sigma (STD) master bias")
+        for c in range(len(mean)):
+            h[f"MBIASM{c + 1}"] = (num(mean[c], 3),
+                                   f"[e-] channel {c + 1} mean master bias")
+        for c in range(len(std)):
+            h[f"MBRDN{c + 1}"] = (num(std[c], 3),
+                                  f"[e-] channel {c + 1} sigma (STD) "
+                                  "master bias")
+    elif imgtype == "dark":
+        h["NDARK"] = (int(stats["nmdark"]),
+                      "number of dark frames combined")
+        mean = np.asarray(stats["mdark_chan_mean"])
+        std = np.asarray(stats["mdark_chan_std"])
+        h["MDMEAN"] = (num(float(np.mean(mean)), 4),
+                       "[e-/s] mean master dark")
+        h["MDRDN"] = (num(float(np.mean(std)), 4),
+                      "[e-/s] sigma (STD) master dark")
+        for c in range(len(mean)):
+            h[f"MDARKM{c + 1}"] = (num(mean[c], 4),
+                                   f"[e-/s] channel {c + 1} mean master dark")
+        for c in range(len(std)):
+            h[f"MDRDN{c + 1}"] = (num(std[c], 4),
+                                  f"[e-/s] channel {c + 1} sigma (STD) "
+                                  "master dark")
+    elif imgtype == "flat":
+        h["NFLAT"] = (int(stats["nmflat"]),
+                      "number of flat frames combined")
+        gaincf = np.asarray(stats["gaincf"])
+        for c in range(len(gaincf)):
+            h[f"GAINCF{c + 1}"] = (num(gaincf[c], 5),
+                                   f"channel {c + 1} gain correction factor")
+    return h
+
+
 def stamp_extraction(h: Header, stats: dict, pixscale: float) -> Header:
     h["NOBJECTS"] = (int(stats["nobjects"]), "number of detected sources")
     h["S-SEEING"] = (round(float(stats["s_seeing_pix"]) * pixscale, 3),

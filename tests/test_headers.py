@@ -80,3 +80,46 @@ def test_stamp_and_verify():
 
     del h["RDNOISE"]
     assert any("RDNOISE" in p for p in verify_header(h, "full"))
+
+
+def test_stamp_flatstats_and_master():
+    from blackbox_tpu.pipeline.headers import stamp_flatstats, stamp_master
+    from blackbox_tpu.qc.engine import run_qc_check
+
+    C = 16
+    h = Header()
+    h["FILTER"] = "q"
+    fs = {"medsec": 30000.0, "stdsec": 200.0, "rstdsec": 200 / 30000,
+          "flatmed": 29500.0, "flatstd": 250.0, "flatrstd": 250 / 29500,
+          "flatm": np.full(C, 29500.0), "flats": np.full(C, 250.0),
+          "flatrs": np.full(C, 250 / 29500.0),
+          "nsubstot": 64, "nsubs": 36, "rdif_max": 0.02,
+          "rstd_max": 0.015}
+    stamp_flatstats(h, fs)
+    assert h["MEDSEC"] == 30000.0
+    assert h["FLATM3"] == 29500.0
+    assert h["FLATRS16"] == round(250 / 29500, 5)
+    assert h["NSUBS"] == 36
+    assert run_qc_check(h, "ML1", check_key_type="flat") == "green"
+    # vignetting out of range -> graded down, culprit recorded
+    h["RDIF-MAX"] = 0.10
+    assert run_qc_check(h, "ML1", check_key_type="flat") == "yellow"
+
+    hb = Header()
+    stamp_master(hb, "bias", {
+        "nmbias": 12, "mbias_chan_mean": np.full(C, 0.3),
+        "mbias_chan_std": np.full(C, 5.5),
+        "mbias_mean": 0.3, "mbias_std": 5.5})
+    assert hb["NBIAS"] == 12 and hb["MBRDN"] == 5.5
+    assert hb["MBIASM9"] == 0.3 and hb["MBRDN16"] == 5.5
+    assert run_qc_check(hb, "ML1", check_key_type="mbias") == "green"
+    hb["MBRDN4"] = 35.0
+    assert run_qc_check(hb, "ML1", check_key_type="mbias") == "orange"
+
+    hf = Header()
+    stamp_master(hf, "flat", {"nmflat": 7, "gaincf": np.full(C, 1.02)})
+    assert hf["NFLAT"] == 7 and hf["GAINCF11"] == 1.02
+    assert run_qc_check(hf, "ML1", check_key_type="mflat") == "green"
+    hf["GAINCF2"] = 1.4
+    assert run_qc_check(hf, "ML1", check_key_type="mflat") == "orange"
+    assert hf["QCORA1"] == "GAINCF2"
