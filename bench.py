@@ -69,7 +69,9 @@ def main():
     t0 = time.time()
     for _ in range(n_iter):
         res = fn(*args)
-    jax.block_until_ready(res)
+    # host transfer forces the queue to drain (block_until_ready alone
+    # is unreliable on the tunneled backend)
+    float(res["image_sum"])
     dt = (time.time() - t0) / n_iter
     fps = 1.0 / dt
     print(f"# steady state {dt * 1e3:.1f} ms/frame", file=sys.stderr)

@@ -25,13 +25,22 @@ def background_mesh(image, mask, boxsize: int, nsigma: float = 3.0,
     """
     H, W = image.shape
     ny, nx = H // boxsize, W // boxsize
-    tiles = image[:ny * boxsize, :nx * boxsize].reshape(
-        ny, boxsize, nx, boxsize).swapaxes(1, 2).reshape(ny, nx, -1)
+    # large boxes: row-strided subsample per box — the reference's
+    # get_rand_indices does the same statistically (random pixel
+    # subsets) to bound the clipping cost.  Rows only: row slices stay
+    # contiguous on TPU (a 2-D ::2,::2 stride lowers as a gather that
+    # costs more than it saves); 64x256 = 16k samples per 256-box
+    step = 4 if boxsize >= 64 else 1
+    img = image[:ny * boxsize:step, :nx * boxsize]
+    bs = boxsize // step
+    tiles = img.reshape(ny, bs, nx, boxsize).swapaxes(1, 2).reshape(
+        ny, nx, -1)
     if mask is None:
         tbad = jnp.zeros(tiles.shape, bool)
     else:
-        tbad = mask[:ny * boxsize, :nx * boxsize].reshape(
-            ny, boxsize, nx, boxsize).swapaxes(1, 2).reshape(ny, nx, -1)
+        msk = mask[:ny * boxsize:step, :nx * boxsize]
+        tbad = msk.reshape(ny, bs, nx, boxsize).swapaxes(1, 2).reshape(
+            ny, nx, -1)
 
     clip = sigma_clip(tiles, mask=tbad, axis=2, sigma=nsigma, iters=3,
                       cenfunc="median")

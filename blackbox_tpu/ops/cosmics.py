@@ -32,6 +32,9 @@ class LACosmicParams:
     objlim: float = 3.0
     niter: int = 3
     strip_rows: int = 264
+    # capacity of the sparse cleaning pass (cosmic pixels per frame);
+    # pixels beyond it stay uncleaned that iteration.  0 = dense clean.
+    clean_cap: int = 262144
     # opt-in fused Pallas kernel (blackbox_tpu.pallas.lacosmic);
     # experimental on current Mosaic — see that module's docstring
     use_pallas: bool = False
@@ -87,9 +90,65 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams()):
 
         # medmask cleaning: masked 5x5 median of good pixels
         bad = crmask | inmask
-        m5bg = median_filter(clean, 5, p.strip_rows)
-        repl = masked_median_filter(clean, bad, 5, p.strip_rows,
-                                    fallback=m5bg)
-        clean = jnp.where(crmask, repl, clean)
+        if p.clean_cap > 0:
+            # sparse: medians evaluated only AT cosmic pixels (a dense
+            # masked median costs ~0.3 s/frame for <0.1% dirty pixels)
+            clean = _sparse_masked_clean(clean, crmask, bad, m5,
+                                         p.clean_cap)
+        else:
+            m5bg = median_filter(clean, 5, p.strip_rows)
+            repl = masked_median_filter(clean, bad, 5, p.strip_rows,
+                                        fallback=m5bg)
+            clean = jnp.where(crmask, repl, clean)
 
     return clean, crmask, jnp.stack(counts)
+
+
+def _sparse_masked_clean(clean, crmask, bad, m5, cap: int):
+    """Replace cosmic pixels by the masked 5x5 median of their good
+    neighbours, evaluated only at (compacted) cosmic-pixel positions.
+
+    Matches the dense path's semantics: border pixels (within 2 px of
+    the frame edge) keep their value; all-bad neighbourhoods fall back
+    to the unmasked 5x5 median ``m5``.  Cosmic pixels beyond ``cap``
+    stay uncleaned (cap is far above any physical per-frame count).
+    """
+    import jax
+    from jax import lax
+
+    H, W = clean.shape
+    cnt = jnp.cumsum(crmask.ravel().astype(jnp.int32))
+    ks = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    pos = jnp.clip(jnp.searchsorted(cnt, ks, side="left"), 0, H * W - 1)
+    valid = ks <= cnt[-1]
+    py = pos // W
+    px = pos % W
+    interior = ((py >= 2) & (py < H - 2) & (px >= 2) & (px < W - 2)
+                & valid)
+    # invalid/border slots write pixel (0, 0)'s own (border, hence
+    # never-cleaned) value — deterministic even with duplicates
+    py = jnp.where(interior, py, 0)
+    px = jnp.where(interior, px, 0)
+
+    badf = bad.astype(jnp.float32)
+
+    def one(y, x):
+        v = lax.dynamic_slice(clean, (y - 2, x - 2), (5, 5)).ravel()
+        b = lax.dynamic_slice(badf, (y - 2, x - 2), (5, 5)).ravel()
+        big = jnp.float32(3.0e38)
+        vals = jnp.where(b > 0.5, big, v)
+        s = jnp.sort(vals)
+        n = jnp.sum(b < 0.5).astype(jnp.int32)
+        i_lo = jnp.maximum(n - 1, 0) // 2
+        i_hi = n // 2
+        med = 0.5 * (s[i_lo] + s[i_hi])
+        return med, n
+
+    # lax.dynamic_slice clamps out-of-range starts, so the redirected
+    # (0, 0) slots slice harmlessly; their result is discarded below
+    med, ngood = jax.vmap(one)(py, px)
+    fallback = m5[py, px]
+    own = clean[py, px]
+    out_val = jnp.where(interior,
+                        jnp.where(ngood > 0, med, fallback), own)
+    return clean.at[py, px].set(out_val)

@@ -15,7 +15,7 @@ stencils).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +73,93 @@ def _oddeven_sort(vals: list) -> list:
     return v
 
 
+# ---- comparator networks (host-built, traced as min/max chains) --------
+
+@lru_cache(maxsize=None)
+def batcher_pairs(m: int) -> tuple:
+    """Batcher odd-even mergesort comparator pairs for m a power of 2."""
+    assert m & (m - 1) == 0, "power of two"
+    pairs = []
+    p = 1
+    while p < m:
+        k = p
+        while k >= 1:
+            for j in range(k % p, m - k, 2 * k):
+                for i in range(min(k, m - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return tuple(pairs)
+
+
+@lru_cache(maxsize=None)
+def selection_ops(m: int, ranks: tuple) -> tuple:
+    """Prune a Batcher sort on m lanes to the comparators feeding the
+    given output ranks.
+
+    Reverse pass with the sound rule: an op whose outputs are both
+    unneeded is dropped; one-sided ops degrade to a single min or max.
+    Returns ops ('ce'|'min'|'max', a, b): 'min' -> a = min(a, b),
+    'max' -> b = max(a, b), 'ce' -> both.
+    """
+    pairs = batcher_pairs(m)
+    needed = set(ranks)
+    ops = []
+    for a, b in reversed(pairs):
+        na, nb = a in needed, b in needed
+        if not (na or nb):
+            continue
+        if na and nb:
+            ops.append(("ce", a, b))
+        elif na:
+            ops.append(("min", a, b))
+            needed.add(b)
+        else:
+            ops.append(("max", a, b))
+            needed.add(a)
+        needed.add(a)
+        needed.add(b)
+    return tuple(reversed(ops))
+
+
+def apply_ops(vals: list, ops) -> list:
+    v = list(vals)
+    for kind, a, b in ops:
+        if kind == "ce":
+            lo = jnp.minimum(v[a], v[b])
+            v[b] = jnp.maximum(v[a], v[b])
+            v[a] = lo
+        elif kind == "min":
+            v[a] = jnp.minimum(v[a], v[b])
+        else:
+            v[b] = jnp.maximum(v[a], v[b])
+    return v
+
+
+def _next_pow2(n: int) -> int:
+    m = 1
+    while m < n:
+        m *= 2
+    return m
+
+
+def select_rank(views: list, rank: int):
+    """Exact rank-``rank`` element of n same-shape arrays via a pruned
+    Batcher selection network (pad lanes hold +big and sort to the top,
+    so ranks below n are unaffected)."""
+    n = len(views)
+    m = _next_pow2(n)
+    if m > n:
+        big = jnp.full_like(views[0], _BIG_F32)
+        views = views + [big] * (m - n)
+    out = apply_ops(views, selection_ops(m, (rank,)))
+    return out[rank]
+
+
+_BIG_F32 = 3.0e38
+
+
 def median_filter(img, k: int, strip_rows: int = 264):
     """k x k median filter; borders keep the input value.
 
@@ -82,7 +169,15 @@ def median_filter(img, k: int, strip_rows: int = 264):
     """
     def fn(st):
         views = [st[i] for i in range(st.shape[0])]
-        return _oddeven_sort(views)[len(views) // 2]
+        if k <= 5:
+            # odd-even transposition, NOT the (fewer-op) pruned Batcher
+            # selection: measured on v5e, the transposition's regular
+            # local exchange pattern fuses better and runs ~1.6x faster
+            # despite ~3x the comparator count at k<=5
+            return _oddeven_sort(views)[len(views) // 2]
+        # k>=7: the transposition's O(k^4) comparators (1176 for 7x7)
+        # dwarf the structural penalty — pruned selection wins
+        return select_rank(views, len(views) // 2)
 
     out = _strip_apply(img, k, strip_rows, fn)
     return _restore_border(out, img, k // 2)
@@ -101,14 +196,14 @@ def masked_median_filter(img, bad, k: int = 5, strip_rows: int = 264,
         k2 = st.shape[0]
         bviews = [bst[i] > 0.5 for i in range(k2)]
         vals = [jnp.where(b, big, st[i]) for i, b in enumerate(bviews)]
-        vs = _oddeven_sort(vals)
+        vs = _oddeven_sort(vals)     # see median_filter: faster on TPU
         n = sum(jnp.int32(1) - b.astype(jnp.int32) for b in bviews)
         i_lo = jnp.maximum(n - 1, 0) // 2
         i_hi = n // 2
         # rank selection without gathers: one select per sorted slot
         lo = jnp.zeros_like(vs[0])
         hi = jnp.zeros_like(vs[0])
-        for r, vr in enumerate(vs):
+        for r, vr in enumerate(vs[:k2]):
             lo = jnp.where(i_lo == r, vr, lo)
             hi = jnp.where(i_hi == r, vr, hi)
         med = 0.5 * (lo + hi)

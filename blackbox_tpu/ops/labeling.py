@@ -48,17 +48,15 @@ def label_components(mask, iters: int = 64):
     H, W = mask.shape
     idx = (jnp.arange(H * W, dtype=jnp.int32).reshape(H, W) + 1)
     big = jnp.int32(H * W + 2)
+    imax = jnp.iinfo(jnp.int32).max
     lab = jnp.where(mask, idx, big)
 
     def body(_, lab):
-        p = jnp.pad(lab, 1, constant_values=big)
-        nb = lab
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                nb = jnp.minimum(nb, p[1 + dy:H + 1 + dy, 1 + dx:W + 1 + dx])
-        return jnp.where(mask, jnp.minimum(lab, nb), big)
+        # separable 3x3 min pool (rows then columns): 2 passes over the
+        # frame instead of 8 shifted copies
+        nb = lax.reduce_window(lab, imax, lax.min, (3, 1), (1, 1), "SAME")
+        nb = lax.reduce_window(nb, imax, lax.min, (1, 3), (1, 1), "SAME")
+        return jnp.where(mask, nb, big)
 
     lab = lax.fori_loop(0, iters, body, lab)
     return jnp.where(mask, lab, 0)

@@ -32,6 +32,7 @@ class TransientParams:
                         | maskbits.SAT_CONNECTED | maskbits.EDGE
                         | maskbits.SATELLITE)
     dipole_frac: float = 0.5      # |neg|/|pos| overlap above this -> dipole
+    moment_window: int = 48       # per-segment moment window [pix]
 
 
 def extract_transients(zogy_out, mask_new=None, mask_ref=None,
@@ -58,44 +59,66 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
     det = (jnp.abs(Scorr) > p.nsigma) & ~bad
     seg, n = label_segments(det, p.label_iters)
 
+    # windowed per-segment moments (see detection.segment_catalog: the
+    # global scatter reductions cost ~9 s/frame on TPU, windows ~0.1 s)
+    from blackbox_tpu.ops.detection import segment_roots
+    win = min(p.moment_window, H, W)
+    root = segment_roots(seg, p.max_transients)
+    rootval = jnp.ravel(seg)[root]
+    y0 = jnp.clip(root // W - win // 3, 0, H - win)
+    x0 = jnp.clip(root % W - win // 2, 0, W - win)
+    g = jnp.arange(win, dtype=jnp.float32)
+
+    def one(k, y0i, x0i):
+        sw = jax.lax.dynamic_slice(seg, (y0i, x0i), (win, win))
+        sv = jax.lax.dynamic_slice(Scorr, (y0i, x0i), (win, win))
+        m = (sw == k) & (k > 0)
+        mf = m.astype(jnp.float32)
+        av = jnp.abs(sv)
+        a = av * mf
+        yy = g[:, None] + y0i.astype(jnp.float32)
+        xx = g[None, :] + x0i.astype(jnp.float32)
+        npix = jnp.sum(mf)
+        wsum = jnp.sum(a)
+        wx = jnp.sum(a * xx)
+        wy = jnp.sum(a * yy)
+        wxx = jnp.sum(a * xx * xx)
+        wyy = jnp.sum(a * yy * yy)
+        wxy = jnp.sum(a * xx * yy)
+        peak_abs = jnp.max(jnp.where(m, av, 0.0))
+        pos_sum = jnp.sum(jnp.maximum(sv, 0.0) * mf)
+        neg_sum = jnp.sum(jnp.maximum(-sv, 0.0) * mf)
+        # position = the segment's |Scorr| PEAK pixel (X_PEAK
+        # semantics): star-subtraction residuals sprawl, and a weighted
+        # centroid of a big blob can sit several px from the transient
+        att = m & (av >= peak_abs - 1e-6)
+        flat = ((g[:, None] + y0i) * W
+                + (g[None, :] + x0i)).astype(jnp.int32)
+        peak_idx = jnp.min(jnp.where(att & (npix > 0), flat,
+                                     jnp.int32(H * W)))
+        return (npix, wsum, wx, wy, wxx, wyy, wxy, peak_abs, pos_sum,
+                neg_sum, peak_idx)
+
+    (npix, wsum, wx, wy, wxx, wyy, wxy, peak_abs, pos_sum, neg_sum,
+     peak_idx) = jax.vmap(one)(rootval, y0, x0)
+    # prepend the background bucket so slot arithmetic below matches
+    # the old 1-indexed layout
+    pad0f = lambda v: jnp.concatenate([jnp.zeros((1,), v.dtype), v])  # noqa
+    npix, wsum, wx, wy, wxx, wyy, wxy = map(
+        pad0f, (npix, wsum, wx, wy, wxx, wyy, wxy))
+    peak_abs, pos_sum, neg_sum = map(pad0f, (peak_abs, pos_sum, neg_sum))
+    peak_idx = jnp.concatenate(
+        [jnp.full((1,), H * W, peak_idx.dtype), peak_idx])
+
     cap = p.max_transients + 1
-    sid = jnp.where(seg <= p.max_transients, seg, 0).ravel()
-    a = jnp.abs(Scorr).ravel()
-    s = Scorr.ravel()
-    yy, xx = jnp.mgrid[0:H, 0:W]
-    yy = yy.ravel().astype(jnp.float32)
-    xx = xx.ravel().astype(jnp.float32)
-
-    seg_sum = lambda v: jax.ops.segment_sum(v, sid, num_segments=cap)  # noqa
-    seg_max = lambda v: jax.ops.segment_max(v, sid, num_segments=cap)  # noqa
-
-    npix = seg_sum(jnp.ones_like(a))
-    wsum = seg_sum(a)
-    wx = seg_sum(a * xx)
-    wy = seg_sum(a * yy)
-    wxx = seg_sum(a * xx * xx)
-    wyy = seg_sum(a * yy * yy)
-    wxy = seg_sum(a * xx * yy)
-    peak_abs = seg_max(a)
-    pos_sum = seg_sum(jnp.maximum(s, 0.0))
-    neg_sum = seg_sum(jnp.maximum(-s, 0.0))
-
-    # position = the segment's |Scorr| PEAK pixel (X_PEAK semantics):
-    # star-subtraction residuals sprawl, and an |Scorr|-weighted
-    # centroid of a big blob can sit several px from the transient
-    peak_of = jax.ops.segment_max(a, sid, num_segments=cap)
-    is_peak = (a >= peak_of[sid] - 1e-6) & (sid > 0)
-    idx_flat = jnp.arange(H * W, dtype=jnp.int32)
-    peak_idx = jax.ops.segment_min(
-        jnp.where(is_peak, idx_flat, jnp.int32(H * W)), sid,
-        num_segments=cap)
+    has_peak = peak_idx < H * W
     peak_idx = jnp.clip(peak_idx, 0, H * W - 1)
     xp = (peak_idx % W).astype(jnp.float32)
     yp = (peak_idx // W).astype(jnp.float32)
 
     wsafe = jnp.maximum(wsum, 1e-9)
-    xc = jnp.where(peak_idx < H * W, xp, wx / wsafe)
-    yc = jnp.where(peak_idx < H * W, yp, wy / wsafe)
+    xc = jnp.where(has_peak, xp, wx / wsafe)
+    yc = jnp.where(has_peak, yp, wy / wsafe)
     # central second moments need the CENTROID, not the peak
     xm = wx / wsafe
     ym = wy / wsafe
