@@ -34,7 +34,11 @@ class LACosmicParams:
     strip_rows: int = 264
     # capacity of the sparse cleaning pass (cosmic pixels per frame);
     # pixels beyond it stay uncleaned that iteration.  0 = dense clean.
-    clean_cap: int = 262144
+    # Default dense: measured at full frame, the sparse pass LOSES
+    # (1.7-5.2 s vs 1.1 s total) — the per-iteration compaction cumsum
+    # and the 5x5 windows/scatter cost more than the dense masked
+    # median the strip pipeline already fuses well.
+    clean_cap: int = 0
     # opt-in fused Pallas kernel (blackbox_tpu.pallas.lacosmic);
     # experimental on current Mosaic — see that module's docstring
     use_pallas: bool = False
