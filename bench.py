@@ -43,12 +43,35 @@ def main():
     gen = jax.jit(lambda k: make_science_device(
         k, geom, nstars=4000, ncosmics=800, trail=True, nsat=20)[:3])
     args = jax.block_until_ready(gen(key))
+
+    # full production chain: master bias/flat application and the
+    # 16x16 crosstalk einsum are part of every science reduction
+    # (masters generated on device — 900 MB would otherwise cross the
+    # tunnel)
+    C = geom.n_chan
+    shape3 = (C, geom.ysize_chan, geom.xsize_chan)
+
+    def make_masters(k):
+        k1, k2 = jax.random.split(k)
+        mbias = 0.5 * jax.random.normal(k1, shape3)
+        mflat = 1.0 + 0.02 * jax.random.normal(k2, shape3)
+        return mbias, mflat
+
+    mbias, mflat = jax.block_until_ready(
+        jax.jit(make_masters)(jax.random.PRNGKey(99)))
+    # the 16x16 coefficient matrix is a host-side constant (1 KB),
+    # like the production config file it stands in for
+    xtalk = np.random.default_rng(0).uniform(
+        -2e-4, 2e-4, (C, C)).astype(np.float32)
     print(f"# setup {time.time() - t_setup:.1f}s on {jax.devices()[0]}",
           file=sys.stderr)
 
-    def step(chan, osvert, oshori):
+    def step(chan, osvert, oshori, mbias, mflat):
+        # masters are arguments, NOT closure captures: closed-over
+        # device arrays are baked into the HLO as 446 MB constants,
+        # which the tunneled compile service rejects
         sci, mask_m, stats = calibrate_detector(
-            ctx, chan, osvert, oshori, None, None, None, None)
+            ctx, chan, osvert, oshori, mbias, mflat, None, xtalk)
         out = extract_catalog(ctx, sci, mask_m)
         return {"nobjects": out["stats"]["nobjects"],
                 "ncosmics": stats["ncosmics"],
@@ -56,6 +79,7 @@ def main():
                 "flux": out["cat"]["flux_ap"][:, -1],
                 "image_sum": jnp.sum(sci)}
 
+    args = args + (mbias, mflat)
     fn = jax.jit(step)
 
     t0 = time.time()

@@ -77,6 +77,9 @@ class ReductionSettings(Settings):
     # vertical-overscan polynomial degree (set_blackbox.py:52)
     voscan_poldeg: int = 3
 
+    # crosstalk coefficient file (set_blackbox.py:179-182); None = skip
+    xtalk_file: Optional[str] = None
+
     # L.A.Cosmic (set_blackbox.py:211-218)
     sigclip: Any = dataclasses.field(
         default_factory=lambda: {"ML1": 15.0, "BG": 20.0})

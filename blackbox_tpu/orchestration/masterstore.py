@@ -144,10 +144,24 @@ class MasterStore:
 
         files = self.individual_cals(imgtype, date, filt)
         if len(files) >= self.policy.ncal_min:
-            data, header = self._build(imgtype, files, filt, tel, geom,
-                                       norm_sec)
-            write_rice(path, np.asarray(data, np.float32), header,
-                       qlevel=32.0)
+            # single-writer publication: the reference documents an
+            # unresolved cross-job race here (blackbox.py:4741-4755);
+            # an advisory lock + re-check closes it on POSIX trees
+            # (GCS writes are atomic per object — no lock needed)
+            from blackbox_tpu.utils.locks import advisory_lock
+            import contextlib
+            lock = (advisory_lock(path) if "://" not in path
+                    else contextlib.nullcontext())
+            with lock:
+                ok, found = already_exists(path, get_filename=True)
+                if ok and not self._is_red(found):
+                    data, header = read_rice(found)
+                    self._stamp_provenance(header, found)
+                    return data, header
+                data, header = self._build(imgtype, files, filt, tel,
+                                           geom, norm_sec)
+                write_rice(path, np.asarray(data, np.float32), header,
+                           qlevel=32.0)
             self._stamp_provenance(header, path)
             return data, header
         # fallback: nearest older master

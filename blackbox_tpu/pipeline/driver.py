@@ -77,7 +77,7 @@ class Pipeline:
                  sso_elements: Optional[list] = None,
                  update_headertables: bool = True,
                  trailnet_params=None, vetnet_params=None,
-                 blind_index=None):
+                 blind_index=None, xtalk_coeffs=None):
         import jax
 
         self.tree = tree
@@ -102,8 +102,27 @@ class Pipeline:
         # seeded solve fails (lost pointing; Astrometry.net equivalent)
         self.blind_index = blind_index
 
+        # crosstalk coefficients: explicit array > settings file > off
+        # (reference xtalk_corr with the per-telescope coefficient file,
+        # blackbox.py:1902 / set_blackbox.py:179-182)
+        if xtalk_coeffs is not None:
+            self.xtalk = np.asarray(xtalk_coeffs, np.float32)
+        elif getattr(self.settings, "xtalk_file", None):
+            from blackbox_tpu.ops.xtalk import load_coeff_file
+            self.xtalk = load_coeff_file(
+                self.settings.xtalk_file,
+                self.geom.n_chan).astype(np.float32)
+        else:
+            self.xtalk = None
+
         ctx_ = self.ctx
+        xt = self.xtalk
         self._calibrate = jax.jit(
+            lambda c, v, h, mb, mf: calibrate_detector(
+                ctx_, c, v, h, mb, mf, None, xt))
+        # calibration frames: no crosstalk (the reference's bias/flat
+        # early-returns happen before xtalk_corr, blackbox.py:1628-1902)
+        self._calibrate_cal = jax.jit(
             lambda c, v, h, mb, mf: calibrate_detector(
                 ctx_, c, v, h, mb, mf, None, None))
         self._calibrate_nomaster = jax.jit(
@@ -207,7 +226,9 @@ class Pipeline:
                 h["FLAT-P"] = True
                 _master_keys("FLAT", mfh)
 
-        sci, mask, stats = self._calibrate(*args, mbias, mflat)
+        cal_fn = (self._calibrate if imgtype == "object"
+                  else self._calibrate_cal)
+        sci, mask, stats = cal_fn(*args, mbias, mflat)
         if self.trailnet_params is not None and imgtype == "object":
             from blackbox_tpu.core import maskbits
             from blackbox_tpu.models.trailnet import segment_trails
@@ -240,6 +261,8 @@ class Pipeline:
         stamp_calibration(h, stats, self.ctx.gains, pixscale, exptime)
         h["OS-P"] = (True, "overscan corrected?")
         h["GAIN-P"] = (True, "gain corrected?")
+        h["XTALK-P"] = (self.xtalk is not None and imgtype == "object",
+                        "corrected for crosstalk?")
         h["MASK-P"] = (True, "mask built?")
         h["COSMIC-P"] = (True, "cosmic rays rejected?")
         h["SAT-P"] = (bool(self.ctx.detect_sats), "satellites detected?")

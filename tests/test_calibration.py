@@ -120,3 +120,17 @@ def test_full_science_calibration_smoke(rng):
     # sky level should survive calibration: median ~ sky * median(flat)
     med = float(jnp.median(chan))
     assert abs(med - truth.sky) / truth.sky < 0.15
+
+
+def test_xtalk_under_jit_with_mask(rng):
+    """Regression: coefficients must be traceable (the driver jit-closes
+    over them; np.asarray on a traced array raised)."""
+    import jax
+    C, ych, xch = 16, 24, 20
+    data = jnp.asarray(rng.normal(1000.0, 10.0, (C, ych, xch)),
+                       jnp.float32)
+    mask = jnp.zeros((C, ych, xch), jnp.uint8)
+    coeffs = rng.uniform(-2e-4, 2e-4, (C, C)).astype(np.float32)
+    out = jax.jit(lambda d, m: xtalk_correct(d, m, coeffs, 8))(data, mask)
+    ref = xtalk_correct(data, None, coeffs, 8)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
