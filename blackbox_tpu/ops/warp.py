@@ -15,17 +15,19 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def remap_grid(wcs_src, wcs_dst, shape_dst, step: int = 32):
+def remap_grid(wcs_src, wcs_dst, shape_dst, step: int = 32,
+               y0: int = 0):
     """Source pixel coordinates (ys, xs) for every destination pixel.
 
     Exact TAN->sky->TAN mapping is evaluated on a coarse (step x step)
     host grid in float64 and interpolated bilinearly to full resolution
     (the mapping between two TAN projections of nearby tangent points is
     smooth at the sub-milli-pixel level over 32 px).  Returns float32
-    arrays (H, W) of 0-based source coords.
+    arrays (H, W) of 0-based source coords.  ``y0`` offsets the
+    destination rows (row-blocked co-addition).
     """
     H, W = shape_dst
-    gy = np.arange(0, H + step, step, np.float64)
+    gy = np.arange(y0, y0 + H + step, step, np.float64)
     gx = np.arange(0, W + step, step, np.float64)
     gyy, gxx = np.meshgrid(gy, gx, indexing="ij")
     ra, dec = wcs_dst.pix2sky(gxx, gyy)
@@ -49,18 +51,55 @@ def remap_grid(wcs_src, wcs_dst, shape_dst, step: int = 32):
     return up(sy), up(sx)
 
 
-def _lanczos_weights(frac, a: int):
-    """(…, 2a) Lanczos-a weights for taps offset -a+1 … a around floor."""
-    offs = jnp.arange(-a + 1, a + 1, dtype=jnp.float32)     # (2a,)
-    x = frac[..., None] - offs                              # (..., 2a)
+def remap_grid_coarse(wcs_src, wcs_dst, shape_dst, step: int = 32,
+                      y0: int = 0):
+    """Coarse-node source coordinates + bilinear upsample matrices.
+
+    The full (H, W) grids of :func:`remap_grid` are ~1 s of host numpy
+    per input per block; the same mapping is exactly representable as
+    coarse float64 nodes (host, trivial) upsampled ON DEVICE by two
+    small matmuls: ``ys = Wy @ sy @ Wx.T``.  Returns
+    (sy, sx, Wy, Wx): (ny, nx) float32 coarse grids and (H, ny), (W, nx)
+    float32 weights.  ``y0`` offsets destination rows; Wy/Wx depend
+    only on (shape, step) when y0 is a step multiple.
+    """
+    H, W = shape_dst
+    gy = np.arange(y0, y0 + H + step, step, np.float64)
+    gx = np.arange(0, W + step, step, np.float64)
+    gyy, gxx = np.meshgrid(gy, gx, indexing="ij")
+    ra, dec = wcs_dst.pix2sky(gxx, gyy)
+    sx, sy = wcs_src.sky2pix(ra, dec)
+
+    def weights(n_out, n_nodes):
+        Wm = np.zeros((n_out, n_nodes), np.float32)
+        f = np.arange(n_out, dtype=np.float64) / step
+        i0 = np.minimum(f.astype(np.int64), n_nodes - 2)
+        t = (f - i0).astype(np.float32)
+        Wm[np.arange(n_out), i0] = 1.0 - t
+        Wm[np.arange(n_out), i0 + 1] = t
+        return Wm
+
+    # coarse grids stay float64 (tiny): callers localise coordinates
+    # (subtract the slab offset) BEFORE casting to f32, else the cast
+    # at ~1e4 px magnitude costs 1e-3 px up front
+    return sy, sx, weights(H, len(gy)), weights(W, len(gx))
+
+
+def upsample_grid(coarse, Wy, Wx):
+    """Device bilinear upsample of a coarse coordinate grid."""
+    up = jnp.matmul(Wy, coarse, precision="highest")
+    return jnp.matmul(up, Wx.T, precision="highest")
+
+
+def _lanczos_tap(frac, k: int, a: int):
+    """Un-normalised Lanczos-a weight of tap ``k`` (offset k-a+1)."""
+    x = frac - jnp.float32(k - a + 1)
     pix = jnp.pi * x
-    # sinc(x)*sinc(x/a), safe at x=0
     eps = 1e-7
     w = jnp.where(jnp.abs(x) < eps, 1.0,
                   a * jnp.sin(pix) * jnp.sin(pix / a)
                   / jnp.maximum(pix * pix, eps))
-    w = jnp.where(jnp.abs(x) < a, w, 0.0)
-    return w / jnp.sum(w, axis=-1, keepdims=True)
+    return jnp.where(jnp.abs(x) < a, w, 0.0)
 
 
 def lanczos_resample(src, ys, xs, a: int = 3, fill: float = 0.0):
@@ -69,12 +108,18 @@ def lanczos_resample(src, ys, xs, a: int = 3, fill: float = 0.0):
     src    : (H, W) float32
     ys, xs : (H', W') 0-based source coordinates
     Out-of-bounds samples return ``fill``.
+
+    Tap weights are recomputed per tap instead of stored: a
+    materialised (H', W', 2a) weight tensor costs 6x the frame in HBM
+    and OOMs the blocked co-add with several inputs resident.
     """
     H, W = src.shape
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
-    wy = _lanczos_weights(ys - y0, a)                       # (H', W', 2a)
-    wx = _lanczos_weights(xs - x0, a)
+    fy = ys - y0
+    fx = xs - x0
+    sy = sum(_lanczos_tap(fy, k, a) for k in range(2 * a))
+    sx = sum(_lanczos_tap(fx, k, a) for k in range(2 * a))
     iy0 = y0.astype(jnp.int32)
     ix0 = x0.astype(jnp.int32)
 
@@ -83,10 +128,11 @@ def lanczos_resample(src, ys, xs, a: int = 3, fill: float = 0.0):
     for ky in range(2 * a):
         iy = jnp.clip(iy0 + (ky - a + 1), 0, H - 1)
         row = iy * W
-        wrow = wy[..., ky]
+        wrow = _lanczos_tap(fy, ky, a) / sy
         for kx in range(2 * a):
             ix = jnp.clip(ix0 + (kx - a + 1), 0, W - 1)
-            acc = acc + wrow * wx[..., kx] * jnp.take(flat, row + ix)
+            acc = acc + (wrow * (_lanczos_tap(fx, kx, a) / sx)
+                         * jnp.take(flat, row + ix))
 
     inb = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
     return jnp.where(inb, acc, fill)

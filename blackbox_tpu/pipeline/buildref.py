@@ -18,17 +18,21 @@ Rebuild of the reference's buildref flow (/root/reference/buildref.py:
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
+log = logging.getLogger("blackbox_tpu")
+
 from blackbox_tpu.core import maskbits
 from blackbox_tpu.ops.coadd import (
     ClipParams, clipped_coadd, weighted_coadd, coadd_mask, coadd_bkg_std,
     a_swarp_search)
-from blackbox_tpu.ops.warp import remap_grid, lanczos_resample, \
-    nearest_resample
+from blackbox_tpu.ops.warp import (remap_grid, remap_grid_coarse,
+                                   upsample_grid, lanczos_resample,
+                                   nearest_resample)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -172,8 +176,11 @@ def coadd_field(inputs: Sequence[RefInput], out_wcs, out_shape,
     w = jnp.where(discard | (stds <= 0), 0.0,
                   1.0 / jnp.maximum(stds, 1e-6) ** 2)
 
-    sigmas = jnp.asarray([float(jnp.median(st)) for st in stds],
-                         jnp.float32)
+    # per-image noise scale from the (subsampled) native background STD
+    # in the common flux scale — same convention as the blocked path
+    sigmas = jnp.asarray(
+        [float(np.median(np.asarray(inp.bkg_std)[::4, ::4])) * f
+         for inp, f in zip(inputs, fscales)], jnp.float32)
     if s.combine_type == "clipped" and N >= s.clip.nmin_clip:
         co, wsum, nclip = clipped_coadd(stack, w, sigmas, s.clip)
     else:
@@ -192,6 +199,123 @@ def coadd_field(inputs: Sequence[RefInput], out_wcs, out_shape,
         "fscales": np.asarray(fscales, np.float32),
         "zp": float(zp_ref),
         "nimages": N,
+    }
+
+
+def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
+                        s: BuildRefSettings = BuildRefSettings(),
+                        zp_ref: Optional[float] = None,
+                        block_rows: int = 1320, pad_rows: int = 256):
+    """Row-blocked co-addition for stacks that exceed device memory.
+
+    A 40-image full-frame stack is ~18 GB of fp32 (SURVEY.md §7.4 hard
+    part 5) — far beyond one chip's HBM.  SWarp streams input LINES per
+    output line; the equivalent here: inputs stay in host RAM, and for
+    each output row block every input contributes a fixed-height row
+    slab (block + pad for dither/rotation, clamped at the edges).  The
+    jitted block program remaps, scales and Gruen-clips the
+    (N, block, W) stack on device; outputs accumulate on host.  Exactly
+    :func:`coadd_field` semantics when every contribution fits the slab
+    (checked per block; violations are logged and clipped to edge).
+    """
+    import jax
+
+    N = len(inputs)
+    if N == 0:
+        raise ValueError("no co-add inputs")
+    if zp_ref is None:
+        zp_ref = max(inp.zp for inp in inputs)
+    H, W = out_shape
+    block_rows = min(block_rows, H)
+
+    imgs = [np.asarray(inp.image, np.float32) for inp in inputs]
+    stds = [np.asarray(inp.bkg_std, np.float32) for inp in inputs]
+    msks = [np.asarray(inp.mask, np.uint8) for inp in inputs]
+    Hin, Win = imgs[0].shape
+    slab_h = min(block_rows + 2 * pad_rows, Hin)
+
+    fscales = np.array(
+        [10.0 ** (0.4 * (zp_ref - (inp.zp - inp.extco
+                                   * (inp.airmass - 1.0))))
+         for inp in inputs], np.float32)
+    sigmas = jnp.asarray(
+        [float(np.median(st[::4, ::4])) * f
+         for st, f in zip(stds, fscales)], jnp.float32)
+    do_clip = s.combine_type == "clipped" and N >= s.clip.nmin_clip
+
+    @jax.jit
+    def combine_block(slab_img, slab_std, slab_msk, csy, csx, Wy, Wx,
+                      fs):
+        def one(t):
+            im, st, mk, sy_c, sx_c, f = t
+            # coarse -> full grids on device (two small matmuls)
+            yl = upsample_grid(sy_c, Wy, Wx)
+            xl = upsample_grid(sx_c, Wy, Wx)
+            img = lanczos_resample(im, yl, xl) * f
+            std = nearest_resample(st, yl, xl,
+                                   fill=jnp.float32(0.0)) * f
+            m = nearest_resample(mk, yl, xl,
+                                 fill=jnp.uint8(maskbits.EDGE))
+            return img, std, m
+
+        # sequential over inputs (lax.map, not vmap): resampling all N
+        # inputs concurrently multiplies the live temps by N and OOMs
+        stack, std_b, mask_b = jax.lax.map(
+            one, (slab_img, slab_std, slab_msk, csy, csx, fs))
+        discard = (mask_b & jnp.uint8(s.masktype_discard)) != 0
+        w = jnp.where(discard | (std_b <= 0), 0.0,
+                      1.0 / jnp.maximum(std_b, 1e-6) ** 2)
+        if do_clip:
+            co, wsum, nclip = clipped_coadd(stack, w, sigmas, s.clip)
+        else:
+            co, wsum = weighted_coadd(stack, w)
+            nclip = jnp.zeros(co.shape, jnp.int32)
+        mask_co = coadd_mask(mask_b)
+        mask_co = jnp.where(wsum <= 0, mask_co | maskbits.EDGE, mask_co)
+        return co, wsum, nclip, mask_co
+
+    out_img = np.zeros(out_shape, np.float32)
+    out_wsum = np.zeros(out_shape, np.float32)
+    out_nclip = np.zeros(out_shape, np.int32)
+    out_mask = np.zeros(out_shape, np.uint8)
+
+    Wy = Wx = None
+    for b0 in range(0, H, block_rows):
+        hb = min(block_rows, H - b0)
+        slabs_i, slabs_s, slabs_m, csys, csxs = [], [], [], [], []
+        for i in range(N):
+            sy_c, sx_c, Wy_b, Wx_b = remap_grid_coarse(
+                inputs[i].wcs, out_wcs, (block_rows, W), y0=b0)
+            if Wy is None:
+                Wy, Wx = jnp.asarray(Wy_b), jnp.asarray(Wx_b)
+            lo = int(np.floor(sy_c.min())) - 4
+            hi = int(np.ceil(sy_c.max())) + 4
+            if hi - lo > slab_h:
+                log.warning("coadd block y=%d input %d: contribution "
+                            "span %d exceeds slab %d (raise pad_rows)",
+                            b0, i, hi - lo, slab_h)
+            y0s = int(np.clip(lo, 0, max(Hin - slab_h, 0)))
+            slabs_i.append(imgs[i][y0s:y0s + slab_h])
+            slabs_s.append(stds[i][y0s:y0s + slab_h])
+            slabs_m.append(msks[i][y0s:y0s + slab_h])
+            csys.append((sy_c - y0s).astype(np.float32))
+            csxs.append(sx_c.astype(np.float32))
+        co, wsum, nclip, mask_co = combine_block(
+            jnp.asarray(np.stack(slabs_i)),
+            jnp.asarray(np.stack(slabs_s)),
+            jnp.asarray(np.stack(slabs_m)),
+            jnp.asarray(np.stack(csys)), jnp.asarray(np.stack(csxs)),
+            Wy, Wx, jnp.asarray(fscales))
+        out_img[b0:b0 + hb] = np.asarray(co)[:hb]
+        out_wsum[b0:b0 + hb] = np.asarray(wsum)[:hb]
+        out_nclip[b0:b0 + hb] = np.asarray(nclip)[:hb]
+        out_mask[b0:b0 + hb] = np.asarray(mask_co)[:hb]
+
+    std_co = np.asarray(coadd_bkg_std(jnp.asarray(out_wsum)))
+    return {
+        "image": out_img, "bkg_std": std_co, "mask": out_mask,
+        "wsum": out_wsum, "nclipped": out_nclip,
+        "fscales": fscales, "zp": float(zp_ref), "nimages": N,
     }
 
 
@@ -307,7 +431,15 @@ def build_reference(tree, telescope: str, field_id: int, filt: str,
     shape = out_shape or tuple(np.asarray(inputs[0].image.shape))
 
     sref = dataclasses.replace(s, clip=choose_clip_params(inputs, s))
-    out = coadd_field(inputs, wcs_out, shape, sref)
+    # resident stacks beyond ~4 GB go through the row-blocked streaming
+    # combiner (SURVEY §7.4 hard part 5: 40 frames = 18 GB > HBM)
+    stack_bytes = len(inputs) * int(np.prod(shape)) * 4 * 3
+    if stack_bytes > 4e9:
+        out = coadd_field_blocked(inputs, wcs_out, shape, sref)
+        out = {k: (jnp.asarray(v) if k in ("image", "bkg_std", "mask")
+                   else v) for k, v in out.items()}
+    else:
+        out = coadd_field(inputs, wcs_out, shape, sref)
 
     # limiting magnitude of the co-add at its common zeropoint
     from blackbox_tpu.astro.photcal import limiting_magnitude

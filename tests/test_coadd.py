@@ -149,3 +149,46 @@ def test_coadd_field_end_to_end(rng):
     assert np.std(co[90:120, 90:120]) < 0.6 * sky_std
     # mask mostly clear inside, EDGE at the rotated-out corners
     assert np.asarray(out["mask"])[64, 64] == 0
+
+
+def test_blocked_coadd_matches_resident(rng):
+    """coadd_field_blocked == coadd_field (same remap/clip math) when
+    every contribution fits the slab."""
+    from blackbox_tpu.pipeline.buildref import coadd_field_blocked
+
+    H = W = 128
+    wcs_out = TanWCS.simple(150.0, -30.0, 0.5642, (H, W))
+    sky_std = 4.0
+    inputs = []
+    for i in range(5):
+        w_i = TanWCS.simple(150.0 + 1e-4 * i, -30.0 - 5e-5 * i,
+                            0.5642, (H, W), rot_deg=0.5 * i)
+        ra, dec = wcs_out.pix2sky(64.0, 64.0)
+        xi, yi = w_i.sky2pix(ra, dec)
+        zp_i = 25.0 - 0.1 * i
+        fs = 10.0 ** (0.4 * (25.0 - zp_i))
+        img = star_image((H, W), [[float(xi), float(yi), 2.0e4 / fs, 3.0]])
+        img = (img + rng.normal(0, sky_std, (H, W))).astype(np.float32)
+        mask = np.zeros((H, W), np.uint8)
+        inputs.append(RefInput(
+            image=jnp.asarray(img),
+            bkg_std=jnp.full((H, W), sky_std, jnp.float32),
+            mask=jnp.asarray(mask), wcs=w_i, zp=zp_i))
+
+    res = coadd_field(inputs, wcs_out, (H, W))
+    blk = coadd_field_blocked(inputs, wcs_out, (H, W), block_rows=32,
+                              pad_rows=16)
+    # different XLA programs round borderline clip residuals
+    # differently: a handful of near-threshold pixels may flip their
+    # clip decision — everything else must match exactly
+    flip = blk["nclipped"] != np.asarray(res["nclipped"])
+    assert flip.mean() < 1e-3, flip.sum()
+    same = ~flip
+    d = np.abs(blk["image"] - np.asarray(res["image"]))
+    # f32 device-grid upsampling shifts coordinates by ~1e-4 px; the
+    # resulting value differences are ~1e-3 of the sky noise
+    assert d[same].max() < 0.02, d[same].max()
+    assert np.allclose(blk["wsum"][same], np.asarray(res["wsum"])[same],
+                       atol=1e-5)
+    assert np.array_equal(blk["mask"], np.asarray(res["mask"]))
+    assert abs(blk["zp"] - res["zp"]) < 1e-9
