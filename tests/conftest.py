@@ -18,6 +18,13 @@ import jax  # noqa: E402
 # conftest runs; the config update wins over the captured env value.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite recompiles identical TINY
+# programs every run — caching cuts repeat runs by minutes on this
+# single-core host
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/jax_cache_blackbox_tpu_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
