@@ -166,14 +166,19 @@ def segment_catalog(image_bksub, bkg_std, seg, n_sources,
         flux = jnp.sum(vw * mf)
         peak = jnp.max(jnp.where(m, vw, -jnp.inf))
         w = jnp.maximum(vw, 0.0) * mf               # positive weights
-        yy = g[:, None] + y0i.astype(jnp.float32)
-        xx = g[None, :] + x0i.astype(jnp.float32)
+        # moments in WINDOW-LOCAL coordinates: absolute x^2 ~ 1e8
+        # swamps few-px^2 central moments in f32 (catastrophic
+        # cancellation); central moments are translation-invariant
+        yy = g[:, None]
+        xx = g[None, :]
         wsum = jnp.maximum(jnp.sum(w), 1e-9)
-        xc = jnp.sum(w * xx) / wsum
-        yc = jnp.sum(w * yy) / wsum
-        x2 = jnp.sum(w * xx * xx) / wsum - xc ** 2
-        y2 = jnp.sum(w * yy * yy) / wsum - yc ** 2
-        xy = jnp.sum(w * xx * yy) / wsum - xc * yc
+        xl = jnp.sum(w * xx) / wsum
+        yl = jnp.sum(w * yy) / wsum
+        x2 = jnp.sum(w * (xx - xl) ** 2) / wsum
+        y2 = jnp.sum(w * (yy - yl) ** 2) / wsum
+        xy = jnp.sum(w * (xx - xl) * (yy - yl)) / wsum
+        xc = xl + x0i.astype(jnp.float32)
+        yc = yl + y0i.astype(jnp.float32)
         return (xc, yc, flux, npix, jnp.where(npix > 0, peak, 0.0),
                 x2, y2, xy)
 

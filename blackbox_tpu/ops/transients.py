@@ -76,36 +76,47 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
         mf = m.astype(jnp.float32)
         av = jnp.abs(sv)
         a = av * mf
-        yy = g[:, None] + y0i.astype(jnp.float32)
-        xx = g[None, :] + x0i.astype(jnp.float32)
+        # WINDOW-LOCAL coordinates for the moment sums (see
+        # detection.segment_catalog: absolute-coordinate squares lose
+        # the few-px^2 central moments to f32 cancellation); the
+        # absolute offset is added back to the first moments downstream
+        yy = g[:, None]
+        xx = g[None, :]
         npix = jnp.sum(mf)
         wsum = jnp.sum(a)
-        wx = jnp.sum(a * xx)
-        wy = jnp.sum(a * yy)
-        wxx = jnp.sum(a * xx * xx)
-        wyy = jnp.sum(a * yy * yy)
-        wxy = jnp.sum(a * xx * yy)
+        off_x = x0i.astype(jnp.float32)
+        off_y = y0i.astype(jnp.float32)
+        wsafe1 = jnp.maximum(wsum, 1e-9)
+        xl = jnp.sum(a * xx) / wsafe1
+        yl = jnp.sum(a * yy) / wsafe1
+        wx = (xl + off_x) * wsum
+        wy = (yl + off_y) * wsum
+        x2c = jnp.sum(a * (xx - xl) ** 2) / wsafe1
+        y2c = jnp.sum(a * (yy - yl) ** 2) / wsafe1
+        xyc = jnp.sum(a * (xx - xl) * (yy - yl)) / wsafe1
         peak_abs = jnp.max(jnp.where(m, av, 0.0))
         pos_sum = jnp.sum(jnp.maximum(sv, 0.0) * mf)
         neg_sum = jnp.sum(jnp.maximum(-sv, 0.0) * mf)
         # position = the segment's |Scorr| PEAK pixel (X_PEAK
         # semantics): star-subtraction residuals sprawl, and a weighted
-        # centroid of a big blob can sit several px from the transient
+        # centroid of a big blob can sit several px from the transient.
+        # Flat indices in int32 — f32 cannot represent indices beyond
+        # 2^24 and would shift peaks by up to +-4 px on a full frame.
         att = m & (av >= peak_abs - 1e-6)
-        flat = ((g[:, None] + y0i) * W
-                + (g[None, :] + x0i)).astype(jnp.int32)
+        gi = jnp.arange(win, dtype=jnp.int32)
+        flat = ((gi[:, None] + y0i) * W + (gi[None, :] + x0i))
         peak_idx = jnp.min(jnp.where(att & (npix > 0), flat,
                                      jnp.int32(H * W)))
-        return (npix, wsum, wx, wy, wxx, wyy, wxy, peak_abs, pos_sum,
+        return (npix, wsum, wx, wy, x2c, y2c, xyc, peak_abs, pos_sum,
                 neg_sum, peak_idx)
 
-    (npix, wsum, wx, wy, wxx, wyy, wxy, peak_abs, pos_sum, neg_sum,
+    (npix, wsum, wx, wy, x2c, y2c, xyc, peak_abs, pos_sum, neg_sum,
      peak_idx) = jax.vmap(one)(rootval, y0, x0)
     # prepend the background bucket so slot arithmetic below matches
     # the old 1-indexed layout
     pad0f = lambda v: jnp.concatenate([jnp.zeros((1,), v.dtype), v])  # noqa
-    npix, wsum, wx, wy, wxx, wyy, wxy = map(
-        pad0f, (npix, wsum, wx, wy, wxx, wyy, wxy))
+    npix, wsum, wx, wy, x2c, y2c, xyc = map(
+        pad0f, (npix, wsum, wx, wy, x2c, y2c, xyc))
     peak_abs, pos_sum, neg_sum = map(pad0f, (peak_abs, pos_sum, neg_sum))
     peak_idx = jnp.concatenate(
         [jnp.full((1,), H * W, peak_idx.dtype), peak_idx])
@@ -119,12 +130,10 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
     wsafe = jnp.maximum(wsum, 1e-9)
     xc = jnp.where(has_peak, xp, wx / wsafe)
     yc = jnp.where(has_peak, yp, wy / wsafe)
-    # central second moments need the CENTROID, not the peak
-    xm = wx / wsafe
-    ym = wy / wsafe
-    x2 = jnp.maximum(wxx / wsafe - xm ** 2, 1e-6)
-    y2 = jnp.maximum(wyy / wsafe - ym ** 2, 1e-6)
-    xy = wxy / wsafe - xm * ym
+    # central second moments already computed in window-local coords
+    x2 = jnp.maximum(x2c, 1e-6)
+    y2 = jnp.maximum(y2c, 1e-6)
+    xy = xyc
     t1 = 0.5 * (x2 + y2)
     t2 = jnp.sqrt(jnp.maximum(0.25 * (x2 - y2) ** 2 + xy ** 2, 0.0))
     elong = jnp.sqrt(jnp.maximum(t1 + t2, 1e-6) /

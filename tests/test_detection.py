@@ -123,3 +123,31 @@ def test_satdet_no_false_positive(rng):
     m, n, snr = detect_trails(jnp.asarray(img), None,
                               SatDetParams(bin_factor=2))
     assert int(n) == 0
+
+
+def test_moments_exact_at_large_coordinates():
+    """Regression: central moments must not lose precision at large
+    absolute pixel coordinates (f32 x^2 ~ 1e8 cancellation corrupted
+    fwhm/elong over most of a full frame)."""
+    import jax.numpy as jnp
+    from blackbox_tpu.ops.detection import (DetectParams, detect_segments,
+                                            segment_catalog, moments_shape)
+    H = W = 5000
+    cy, cx = 4801, 4703
+    img = np.zeros((H, W), np.float32)
+    g = np.arange(-6, 7, dtype=np.float32)
+    blob = np.exp(-0.5 * (g[:, None] ** 2 + g[None, :] ** 2)
+                  / (3.0 / 2.355) ** 2) * 5000.0
+    img[cy - 6:cy + 7, cx - 6:cx + 7] = blob
+    bstd = np.full((H, W), 5.0, np.float32)
+    p = DetectParams(nsigma=3.0, max_sources=16, label_iters=8)
+    seg, n = detect_segments(jnp.asarray(img), jnp.asarray(bstd), None, p)
+    cat = segment_catalog(jnp.asarray(img), jnp.asarray(bstd), seg, n, p)
+    cat.update(moments_shape(cat))
+    assert int(n) == 1
+    k = int(np.argmax(np.asarray(cat["valid"])))
+    assert abs(float(cat["x"][k]) - cx) < 0.05
+    assert abs(float(cat["y"][k]) - cy) < 0.05
+    # symmetric gaussian: elongation ~1, fwhm ~3 px
+    assert float(cat["elong"][k]) < 1.05, float(cat["elong"][k])
+    assert abs(float(cat["fwhm"][k]) - 3.0) < 0.6, float(cat["fwhm"][k])

@@ -86,3 +86,26 @@ def test_subtraction_end_to_end(rng):
     # and few spurious detections elsewhere
     others = v & (np.hypot(x - tx, y - ty) > 3.0)
     assert others.sum() <= 3, others.sum()
+
+
+def test_transient_peak_exact_at_large_flat_index():
+    """Regression: peak flat indices beyond 2^24 must stay exact (f32
+    index math shifted peaks by up to 4 px on full frames)."""
+    import jax.numpy as jnp
+    from blackbox_tpu.ops.transients import (TransientParams,
+                                             extract_transients)
+    H = W = 5000                      # flat index ~2.4e7 > 2^24
+    ty, tx = 4801, 4703
+    scorr = np.zeros((H, W), np.float32)
+    scorr[ty - 1:ty + 2, tx - 1:tx + 2] = 8.0
+    scorr[ty, tx] = 20.0
+    z = {"Scorr": jnp.asarray(scorr),
+         "Fpsf": jnp.asarray(scorr * 10.0),
+         "Fpsferr": jnp.ones((H, W), jnp.float32),
+         "D": jnp.asarray(scorr)}
+    cat, n = extract_transients(z, None, None,
+                                TransientParams(label_iters=8))
+    assert int(n) == 1
+    k = int(np.argmax(np.asarray(cat["valid"])))
+    assert float(cat["x"][k]) == tx
+    assert float(cat["y"][k]) == ty
