@@ -145,9 +145,16 @@ def blind_solve(x, y, flux, index: QuadIndex, image_shape,
                      bounds from the image diagonal alone.
     """
     lib = _get_lib()
-    if lib is None:
-        raise RuntimeError("quadmatch C++ library failed to build")
     ny, nx = image_shape
+    if lib is None:
+        # no compiler / library on this host: degrade to a failed solve
+        # so the driver's lost-pointing fallback red-flags the frame
+        # instead of crashing the whole reduction
+        import logging
+        logging.getLogger("blackbox_tpu").error(
+            "quadmatch C++ library unavailable; blind solve disabled")
+        wcs = TanWCS.simple(0.0, 0.0, pixscale_hint or 1.0, image_shape)
+        return SolveResult(wcs, 0, float("inf"), False)
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     order = np.argsort(-np.asarray(flux))

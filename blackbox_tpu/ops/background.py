@@ -30,7 +30,7 @@ def background_mesh(image, mask, boxsize: int, nsigma: float = 3.0,
     # subsets) to bound the clipping cost.  Rows only: row slices stay
     # contiguous on TPU (a 2-D ::2,::2 stride lowers as a gather that
     # costs more than it saves); 64x256 = 16k samples per 256-box
-    step = 4 if boxsize >= 64 else 1
+    step = 4 if boxsize >= 64 and boxsize % 4 == 0 else 1
     img = image[:ny * boxsize:step, :nx * boxsize]
     bs = boxsize // step
     tiles = img.reshape(ny, bs, nx, boxsize).swapaxes(1, 2).reshape(

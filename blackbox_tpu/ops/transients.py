@@ -107,11 +107,18 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
         flat = ((gi[:, None] + y0i) * W + (gi[None, :] + x0i))
         peak_idx = jnp.min(jnp.where(att & (npix > 0), flat,
                                      jnp.int32(H * W)))
+        # segment pixels on the window border mean the segment spills
+        # past the window: its true npix is under-counted, so the giant-
+        # segment vet below must treat it as over-sized
+        border = jnp.zeros((win, win), bool)
+        border = border.at[0, :].set(True).at[-1, :].set(True)
+        border = border.at[:, 0].set(True).at[:, -1].set(True)
+        truncated = jnp.any(m & border)
         return (npix, wsum, wx, wy, x2c, y2c, xyc, peak_abs, pos_sum,
-                neg_sum, peak_idx)
+                neg_sum, peak_idx, truncated)
 
     (npix, wsum, wx, wy, x2c, y2c, xyc, peak_abs, pos_sum, neg_sum,
-     peak_idx) = jax.vmap(one)(rootval, y0, x0)
+     peak_idx, truncated) = jax.vmap(one)(rootval, y0, x0)
     # prepend the background bucket so slot arithmetic below matches
     # the old 1-indexed layout
     pad0f = lambda v: jnp.concatenate([jnp.zeros((1,), v.dtype), v])  # noqa
@@ -120,6 +127,8 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
     peak_abs, pos_sum, neg_sum = map(pad0f, (peak_abs, pos_sum, neg_sum))
     peak_idx = jnp.concatenate(
         [jnp.full((1,), H * W, peak_idx.dtype), peak_idx])
+    truncated = jnp.concatenate(
+        [jnp.zeros((1,), bool), truncated])
 
     cap = p.max_transients + 1
     has_peak = peak_idx < H * W
@@ -150,7 +159,7 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
 
     ids = jnp.arange(cap)
     in_range = (ids >= 1) & (ids <= n)
-    vet_npix = (npix >= p.npix_min) & (npix <= p.npix_max)
+    vet_npix = (npix >= p.npix_min) & (npix <= p.npix_max) & ~truncated
     vet_shape = elong < p.elong_max
     # dipole: both signs significant within one segment (astrometric
     # residual artefact) — vetted out

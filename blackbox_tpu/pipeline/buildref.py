@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -51,6 +51,12 @@ class BuildRefSettings:
     masktype_discard: int = 63           # :57 (all bits but edge... 63=BAD|CR|SAT|SATCON|SATL|EDGE)
     pixscale_out: float = 0.5642         # :70-73 MANUAL
     clip: ClipParams = ClipParams()
+    # observatory sites (lat, lon[deg E], height[m]) per telescope —
+    # night-date resolution of input products uses the site longitude
+    site: Any = dataclasses.field(default_factory=lambda: {
+        "ML": (-32.3799, 20.8112, 1802.0),
+        "BG": (-29.2575, -70.7380, 2383.0),
+    })
 
 
 @dataclasses.dataclass
@@ -88,7 +94,10 @@ def select_images(table: Sequence[dict],
             if str(r.get("QC-FLAG", "red")).lower() in s.qc_accept
             and _f(r.get("S-SEEING"), 99.0) < s.seeing_max
             and np.isfinite(_f(r.get("LIMMAG"), np.nan))
-            and not bool(r.get("ISTRACKI", False))]
+            # keep only frames tracked at sidereal rate (reference
+            # buildref.py:401 selects ISTRACKI == True); rows without
+            # the column are assumed tracking
+            and bool(r.get("ISTRACKI", True))]
     if not rows:
         return [], {"nsel": 0, "limmag_proj": None}
 
@@ -409,10 +418,12 @@ def build_reference(tree, telescope: str, field_id: int, filt: str,
         return "too_few_images", {"nsel": len(sel)}
 
     # resolve product paths from the red tree via the night dates
+    from blackbox_tpu.config.base import get_par
     from blackbox_tpu.orchestration.paths import night_date
+    site = get_par(s.site, telescope)
     inputs, used = [], []
     for r in sel:
-        date = night_date(float(r["MJD-OBS"]), 20.81)
+        date = night_date(float(r["MJD-OBS"]), site[1])
         rdir = tree.red_dir(date)
         p = os.path.join(rdir, str(r["FILENAME"]).replace(
             "_red.fits", "_red.fits.fz"))

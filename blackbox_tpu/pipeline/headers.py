@@ -95,6 +95,16 @@ def set_header(h: Header, site, field_grid=None) -> Header:
             except (KeyError, TypeError, ValueError):
                 pass
 
+    # tracking state: the TCS writes a string 'True'/'False'; normalise
+    # to bool (reference blackbox.py:5745-5750) — buildref's selection
+    # keeps only tracked frames
+    if "ISTRACKI" in h:
+        v = h["ISTRACKI"]
+        h["ISTRACKI"] = (v if isinstance(v, bool)
+                         else str(v).strip().lower() in
+                         ("true", "t", "1", "yes"),
+                         "Telescope is tracking")
+
     # ephemerides
     h["SUNALT"] = (round(float(eph.sun_altitude(mjd_mid, lat, lon)), 2),
                    "[deg] sun altitude")

@@ -51,11 +51,11 @@ class QCResult:
 def _expand_ranges(entry, filt):
     vr = entry["val_range"]
     if isinstance(vr, dict):
-        if filt is None or filt not in vr:
-            # fall back to any entry (reference indexes by filter directly)
-            vr = next(iter(vr.values()))
-        else:
-            vr = vr[filt]
+        # the reference indexes by filter directly and fails loudly on an
+        # unknown one (set_qc per-filter dicts); silently grading against
+        # an arbitrary filter's range could green-flag bad data, so an
+        # unknown/missing filter KeyErrors here and the keyword goes red
+        vr = vr[filt]
     vt = entry["val_type"]
     if vt == "sigma":
         exp, std = vr[0] if isinstance(vr[0], (tuple, list)) else vr

@@ -47,6 +47,9 @@ def raw_header(telescope: str, imgtype: str, mjd_start: float,
         h["GPSSTART"] = (mjd2iso(mjd_start), "GPS shutter open")
         h["GPSEND"] = (mjd2iso(mjd_start + (exptime + 0.05) / 86400.0),
                        "GPS shutter close")
+        # the TCS writes tracking state as a STRING (reference
+        # blackbox.py:1092, 5745-5750 str2bool-normalises it)
+        h["ISTRACKI"] = ("True", "Telescope is tracking")
     else:
         h["OBJECT"] = (imgtype, "")
     return h

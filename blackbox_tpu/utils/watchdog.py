@@ -29,7 +29,8 @@ def run_with_watchdog(fn, *args, timeout_s: float = 600.0, label: str = "",
     torn down by the orchestrator's retry logic, which is exactly the
     reference's SLURM-level containment model.
     """
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
         fut = ex.submit(fn, *args, **kwargs)
         try:
             return fut.result(timeout=timeout_s)
@@ -39,3 +40,8 @@ def run_with_watchdog(fn, *args, timeout_s: float = 600.0, label: str = "",
             fut.cancel()
             raise DeviceHang(
                 f"{label or fn}: no result within {timeout_s:.0f}s")
+    finally:
+        # never wait=True: joining a truly hung worker would wedge the
+        # watchdog itself — the thread is left detached for the process
+        # teardown to reap
+        ex.shutdown(wait=False)

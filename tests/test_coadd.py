@@ -112,6 +112,25 @@ def test_select_images_depth_logic():
     assert all(r["QC-FLAG"] == "green" for r in sel)
 
 
+def test_select_images_tracking_cut():
+    # the reference keeps only ISTRACKI == True rows (buildref.py:401);
+    # regression for the round-1 inversion that rejected every tracked
+    # frame
+    table = []
+    for i in range(12):
+        table.append({"QC-FLAG": "green", "S-SEEING": 2.0,
+                      "LIMMAG": 20.0 + 0.01 * i,
+                      "ISTRACKI": (i % 3 != 0), "idx": i})
+    sel, info = select_images(table, BuildRefSettings(nimages_min=1))
+    assert info["nsel"] > 0
+    assert all(r["ISTRACKI"] for r in sel)
+    # rows without the column are assumed tracking
+    sel2, info2 = select_images(
+        [{"QC-FLAG": "green", "S-SEEING": 2.0, "LIMMAG": 20.0}],
+        BuildRefSettings(nimages_min=1))
+    assert info2["nsel"] == 1
+
+
 def test_coadd_field_end_to_end(rng):
     H = W = 128
     wcs_out = TanWCS.simple(150.0, -30.0, 0.5642, (H, W))

@@ -50,6 +50,16 @@ def test_filter_keyed_range():
     assert qc_check(h, QC_RANGES, "ML1").color == "yellow"
 
 
+def test_unknown_filter_is_red():
+    # filter-keyed ranges must not silently grade against an arbitrary
+    # filter's window (reference set_qc indexes by filter directly)
+    h = _good_header()
+    h["FILTER"] = "XX"
+    res = qc_check(h, QC_RANGES, "ML1")
+    assert res.color == "red"
+    assert "LIMMAG" in res.keys
+
+
 def test_none_is_red():
     h = _good_header()
     h["LIMMAG"] = "None"

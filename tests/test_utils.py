@@ -77,8 +77,12 @@ def test_advisory_lock_timeout(tmp_path):
 
 def test_watchdog_pass_and_hang():
     assert run_with_watchdog(lambda a: a + 1, 41, timeout_s=5) == 42
+    t0 = time.monotonic()
     with pytest.raises(DeviceHang):
         run_with_watchdog(time.sleep, 3.0, timeout_s=0.3, label="sleepy")
+    # the timeout path must return promptly, NOT join the hung worker
+    # (shutdown(wait=True) would block the full 3 s sleep)
+    assert time.monotonic() - t0 < 2.0
 
 
 def test_first_host():
