@@ -91,3 +91,54 @@ def test_dilate_matches_scipy(rng):
         got = np.asarray(dilate(jnp.asarray(m), k))
         want = ndimage.binary_dilation(m, structure=np.ones((k, k), bool))
         np.testing.assert_array_equal(got, want)
+
+
+def test_lacosmic_windowed_matches_dense_exactly(rng):
+    # the windowed iteration machinery must be BIT-identical to the
+    # dense path: same comparator networks, same arithmetic order,
+    # global-coordinate border handling inside windows
+    H, W = 160, 224
+    img = rng.normal(300.0, 12.0, (H, W)).astype(np.float32)
+    # clustered + border cosmics to stress window/cell edges
+    for (y, x) in [(3, 3), (0, 100), (80, 0), (159, 223), (50, 60),
+                   (51, 61), (52, 60), (120, 200), (80, 128)]:
+        img[y, x] += 4000.0
+    inm = np.zeros((H, W), bool)
+    inm[10:12, 10:30] = True
+    rdn = 10.0
+
+    dense = jax.jit(lambda d, m: lacosmic(
+        d, m, rdn, LACosmicParams(sigclip=8.0, strip_rows=32,
+                                  windowed=False)))
+    win = jax.jit(lambda d, m: lacosmic(
+        d, m, rdn, LACosmicParams(sigclip=8.0, strip_rows=32,
+                                  windowed=True, cell=32,
+                                  window_chunk=4, max_cells=64)))
+    cd, md, nd = dense(jnp.asarray(img), jnp.asarray(inm))
+    cw, mw, nw = win(jnp.asarray(img), jnp.asarray(inm))
+    np.testing.assert_array_equal(np.asarray(md), np.asarray(mw))
+    np.testing.assert_array_equal(np.asarray(cd), np.asarray(cw))
+    np.testing.assert_array_equal(np.asarray(nd), np.asarray(nw))
+    assert np.asarray(nd)[0] > 0
+
+
+def test_lacosmic_windowed_dense_fallback(rng):
+    # above max_cells active cells the pass falls back to the dense
+    # formulation inside lax.cond — results must still match
+    H, W = 96, 96
+    img = rng.normal(300.0, 12.0, (H, W)).astype(np.float32)
+    ys, xs = rng.integers(2, H - 2, 40), rng.integers(2, W - 2, 40)
+    img[ys, xs] += 4000.0
+    rdn = 10.0
+    dense = jax.jit(lambda d: lacosmic(
+        d, None, rdn, LACosmicParams(sigclip=8.0, strip_rows=32,
+                                     windowed=False)))
+    win = jax.jit(lambda d: lacosmic(
+        d, None, rdn, LACosmicParams(sigclip=8.0, strip_rows=32,
+                                     windowed=True, cell=16,
+                                     window_chunk=2, max_cells=2)))
+    cd, md, nd = dense(jnp.asarray(img))
+    cw, mw, nw = win(jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(md), np.asarray(mw))
+    np.testing.assert_array_equal(np.asarray(cd), np.asarray(cw))
+    np.testing.assert_array_equal(np.asarray(nd), np.asarray(nw))

@@ -48,6 +48,43 @@ def test_selection_cheaper_than_sort():
     assert nsel < nsort, (nsel, nsort)
 
 
+def test_sorted_column_network_sorts():
+    # the odd-even merge tree over pre-sorted columns must produce a
+    # full sort for every wire ordering (0-1 principle brute force)
+    from blackbox_tpu.ops.filters import sorted_column_network
+    rng = np.random.default_rng(3)
+    for k in (3, 5, 7):
+        pairs, order = sorted_column_network(k)
+        m = k * k
+        x = rng.standard_normal((400, m)).astype(np.float32)
+        # pre-sort each column's wires (dx*k+r for r in range(k))
+        for dx in range(k):
+            x[:, dx * k:(dx + 1) * k] = np.sort(
+                x[:, dx * k:(dx + 1) * k], axis=1)
+        out = _run_net(pairs, jnp.asarray(x))
+        assert np.array_equal(out[:, list(order)],
+                              np.sort(x, axis=1)), k
+        # fewer comparators than sorting from scratch (the whole point)
+        from blackbox_tpu.ops.filters import transposition_pairs
+        assert len(pairs) + k * len(transposition_pairs(k)) < \
+            len(transposition_pairs(m))
+
+
+def test_sc_select_ops_rank_parity():
+    from blackbox_tpu.ops.filters import sc_select_ops
+    rng = np.random.default_rng(4)
+    for k in (3, 5, 7):
+        m = k * k
+        ops, wires = sc_select_ops(k, (m // 2,))
+        x = rng.standard_normal((400, m)).astype(np.float32)
+        for dx in range(k):
+            x[:, dx * k:(dx + 1) * k] = np.sort(
+                x[:, dx * k:(dx + 1) * k], axis=1)
+        v = [jnp.asarray(x[:, i]) for i in range(m)]
+        got = np.asarray(apply_ops(v, ops)[wires[0]])
+        assert np.array_equal(got, np.sort(x, axis=1)[:, m // 2]), k
+
+
 def test_median_filter_matches_scipy_interior():
     from scipy import ndimage
     from blackbox_tpu.ops.filters import median_filter
