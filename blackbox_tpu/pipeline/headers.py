@@ -10,9 +10,13 @@ contract validates product headers before shipping.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from blackbox_tpu.io.fits import Header
+
+log = logging.getLogger("blackbox_tpu")
 from blackbox_tpu.astro import time as at
 from blackbox_tpu.astro import ephem as eph
 from blackbox_tpu.astro.wcs import haversine
@@ -178,6 +182,9 @@ def stamp_calibration(h: Header, stats: dict, gains, pixscale: float,
                          "[/s] number of cosmic rays identified")
     if "nsats" in stats:
         h["NSATS"] = (int(stats["nsats"]), "number of satellite trails")
+    if "n_infnan" in stats:
+        h["N-INFNAN"] = (int(stats["n_infnan"]),
+                         "number of infinite/NaN pixels in raw frame")
 
     # mask bit counts (reference mask_header blackbox.py:4601-4620)
     from blackbox_tpu.core import maskbits
@@ -306,50 +313,194 @@ def stamp_extraction(h: Header, stats: dict, pixscale: float) -> Header:
 
 
 # ---- product header contract (verify_header equivalent) -----------------
+#
+# Mirrors the reference's ~290-entry dtype/None dictionary
+# (blackbox.py:2893-3256) with its semantics: entries marked required
+# (the reference's DB flag) HARD-FAIL when missing or None-but-not-
+# allowed; dtype mismatches and missing optional keys are warnings.
+# ``required`` is adapted to the keywords THIS pipeline guarantees.
+#
+# (key, dtype, required, none_ok)
 
-# keyword -> (python types accepted, none_allowed)
+_RAW_CONTRACT = [
+    ("SIMPLE", bool, 0, 1), ("BITPIX", int, 0, 1), ("NAXIS", int, 0, 1),
+    ("NAXIS1", int, 0, 1), ("NAXIS2", int, 0, 1), ("BUNIT", str, 0, 1),
+    ("CCD-AMP", str, 0, 1), ("SET-TEMP", float, 0, 1),
+    ("CCD-TEMP", float, 0, 1), ("XBINNING", int, 0, 1),
+    ("YBINNING", int, 0, 1), ("ALTITUDE", float, 0, 1),
+    ("AZIMUTH", float, 0, 1), ("DOMEAZ", float, 0, 1),
+    ("RADESYS", str, 0, 1), ("EPOCH", float, 0, 1),
+    ("RA", float, 1, 0), ("RA-REF", str, 0, 1), ("RA-TEL", float, 0, 1),
+    ("DEC", float, 1, 0), ("DEC-REF", str, 0, 1),
+    ("DEC-TEL", float, 0, 1), ("HA", float, 0, 0),
+    ("FLIPSTAT", str, 0, 1), ("EXPTIME", float, 1, 0),
+    ("ISTRACKI", bool, 0, 1), ("ACQSTART", str, 0, 0),
+    ("ACQEND", str, 0, 1), ("GPSSTART", str, 0, 1),
+    ("GPSEND", str, 0, 1), ("GPS-SHUT", float, 0, 1),
+    ("DATE-OBS", str, 1, 0), ("MJD-OBS", float, 1, 0),
+    ("LST", float, 1, 0), ("UTC", float, 0, 0), ("TIMESYS", str, 0, 1),
+    ("ORIGIN", str, 0, 1), ("MPC-CODE", str, 0, 0),
+    ("TELESCOP", str, 1, 0), ("CL-BASE", float, 0, 1),
+    ("RH-MAST", float, 0, 1), ("RH-DOME", float, 0, 1),
+    ("PRESSURE", float, 0, 1), ("T-PIER", float, 0, 1),
+    ("T-DOME", float, 0, 1), ("WINDAVE", float, 0, 1),
+    ("WINDGUST", float, 0, 1), ("WINDDIR", float, 0, 1),
+    ("SITELAT", float, 0, 1), ("SITELONG", float, 0, 1),
+    ("ELEVATIO", int, 0, 1), ("WEATIME", str, 0, 1),
+    ("FILTER", str, 1, 0), ("FILTERID", str, 0, 1),
+    ("CCD-ID", str, 0, 1), ("CONTROLL", str, 0, 1),
+    ("DETSPEED", int, 0, 1), ("CCD-NW", int, 0, 1),
+    ("CCD-NH", int, 0, 1), ("INSTRUME", str, 0, 1),
+    ("FOCUSPOS", int, 0, 1), ("IMAGETYP", str, 1, 1),
+    ("OBJECT", str, 1, 0), ("AIRMASS", float, 1, 0),
+    ("ORIGFILE", str, 0, 0), ("OBSERVER", str, 0, 1),
+    ("PROGNAME", str, 0, 1), ("PROGID", str, 0, 1),
+    ("GUIDERST", str, 0, 1), ("GUIDERFQ", float, 0, 1),
+    ("TRAKTIME", float, 0, 1), ("ADCX", float, 0, 1),
+    ("ADCY", float, 0, 1),
+]
+
+_FULL_CONTRACT = [
+    ("BB-V", str, 0, 0), ("BB-START", str, 0, 0), ("KW-V", str, 0, 0),
+    ("LOG", str, 0, 1), ("LOG-IMA", str, 0, 1),
+    ("N-INFNAN", int, 1, 1),
+    ("XTALK-P", bool, 1, 0), ("XTALK-F", str, 0, 1),
+    ("NONLIN-P", bool, 1, 0), ("NONLIN-F", str, 0, 1),
+    ("GAIN-P", bool, 1, 0), ("GAIN", float, 1, 1),
+    ("OS-P", bool, 1, 0),
+    ("BIASMEAN", float, 1, 1), ("RDNOISE", float, 1, 1),
+    ("MBIAS-P", bool, 1, 0), ("MBIAS-F", str, 0, 1),
+    ("MB-NDAYS", float, 0, 1),
+    ("SATURATE", float, 1, 1), ("NOBJ-SAT", int, 1, 1),
+    ("MFLAT-P", bool, 1, 0), ("MFLAT-F", str, 0, 1),
+    ("MF-NDAYS", float, 0, 1),
+    ("MFRING-P", bool, 0, 0), ("MFRING-F", str, 0, 1),
+    ("FRRATIO", float, 0, 1),
+    ("COSMIC-P", bool, 1, 0), ("NCOSMICS", float, 1, 1),
+    ("SAT-P", bool, 1, 0), ("NSATS", int, 1, 1),
+    ("REDFILE", str, 0, 1), ("MASKFILE", str, 0, 1),
+    ("S-P", bool, 1, 0), ("S-V", str, 0, 1), ("S-NOBJ", int, 0, 1),
+    ("S-FWHM", float, 0, 1), ("S-FWSTD", float, 0, 1),
+    ("S-SEEING", float, 1, 1), ("S-SEESTD", float, 0, 1),
+    ("S-ELONG", float, 0, 1), ("S-ELOSTD", float, 0, 1),
+    ("S-BKG", float, 1, 1), ("S-BKGSTD", float, 1, 1),
+    ("S-VIGNET", int, 0, 1),
+    ("BKG-CORR", bool, 0, 1), ("BKG-CHI2", float, 0, 1),
+    ("BKG-FDEG", int, 0, 1), ("BKG-FC0", float, 0, 1),
+    ("A-P", bool, 1, 0), ("A-V", str, 0, 1), ("A-INDEX", str, 0, 1),
+    ("A-PSCALE", float, 0, 1), ("A-PSCALX", float, 0, 1),
+    ("A-PSCALY", float, 0, 1), ("A-ROT", float, 0, 1),
+    ("A-ROTX", float, 0, 1), ("A-ROTY", float, 0, 1),
+    ("A-CAT-F", str, 0, 1), ("A-NAST", int, 0, 1),
+    ("A-TNAST", int, 0, 1), ("A-NAMAX", int, 0, 1),
+    ("A-DRA", float, 0, 1), ("A-DRASTD", float, 0, 1),
+    ("A-DDEC", float, 0, 1), ("A-DDESTD", float, 0, 1),
+    ("A-NA-OFF", int, 0, 1), ("A-RMS", float, 0, 1),
+    ("A-BLIND", bool, 0, 1),
+    ("PSF-P", bool, 1, 0), ("PSF-V", str, 0, 1),
+    ("PSF-RAD", float, 0, 1), ("PSF-SIZE", int, 0, 1),
+    ("PSF-FRAC", float, 0, 1), ("PSF-SAMP", float, 0, 1),
+    ("PSF-CFGS", int, 0, 1), ("PSF-NOBJ", int, 0, 1),
+    ("PSF-FIX", bool, 0, 1), ("PSF-PLDG", int, 0, 1),
+    ("PSF-CHI2", float, 0, 1), ("PSF-FWHM", float, 0, 1),
+    ("PSF-SEE", float, 0, 1),
+    ("PC-P", bool, 1, 0), ("PC-CAT-F", str, 0, 1),
+    ("PC-NCAL", int, 0, 1), ("PC-TNCAL", int, 0, 1),
+    ("PC-FNCAL", int, 0, 1), ("PC-NCMAX", int, 0, 1),
+    ("PC-NCMIN", int, 0, 1), ("PC-ZPCHN", bool, 0, 1),
+    ("PC-MZPD", float, 0, 1), ("PC-MZPS", float, 0, 1),
+    ("PC-MZPE", float, 0, 1), ("PC-ZPDEF", bool, 0, 1),
+    ("PC-ZP", float, 0, 1), ("PC-ZPSTD", float, 0, 1),
+    ("PC-ZPERR", float, 0, 1), ("PC-EXTCO", float, 0, 1),
+    ("AIRMASSC", float, 0, 1), ("RA-CNTR", float, 0, 1),
+    ("DEC-CNTR", float, 0, 1), ("AZ-CNTR", float, 0, 1),
+    ("ALT-CNTR", float, 0, 1), ("BJD-OBS", float, 0, 1),
+    ("NSIGMA", int, 0, 1), ("LIMEFLUX", float, 0, 1),
+    ("LIMFNU", float, 0, 1), ("LIMMAG", float, 0, 1),
+    ("NOBJECTS", int, 1, 1), ("NGAIA", int, 0, 1),
+    ("MAG-SAT", float, 0, 1), ("RADECOFF", float, 0, 1),
+    ("RAOFF", float, 0, 1), ("DECOFF", float, 0, 1),
+    ("FORMAT-P", bool, 0, 1), ("DUMCAT", bool, 1, 0),
+    ("QC-FLAG", str, 1, 0), ("DATEFILE", str, 0, 1),
+    ("MASK-P", bool, 1, 0), ("BPM-F", str, 0, 1),
+]
+
+_TRANS_CONTRACT = [
+    ("SWARP-P", bool, 0, 0), ("SWARP-V", str, 0, 1),
+    ("Z-REF", str, 0, 1), ("Z-DXYLOC", bool, 0, 1),
+    ("Z-DX", float, 0, 1), ("Z-DY", float, 0, 1),
+    ("Z-DXSTD", float, 0, 1), ("Z-DYSTD", float, 0, 1),
+    ("Z-DXRMS", float, 0, 1), ("Z-DYRMS", float, 0, 1),
+    ("Z-FNRLOC", bool, 0, 1), ("Z-FNR", float, 0, 1),
+    ("Z-FNRSTD", float, 0, 1), ("Z-FNRERR", float, 0, 1),
+    ("Z-FRATIO", float, 0, 1), ("Z-FRSTD", float, 0, 1),
+    ("Z-P", bool, 0, 0), ("Z-V", str, 0, 1), ("Z-SIZE", int, 0, 1),
+    ("Z-BSIZE", int, 0, 1), ("Z-SCMED", float, 0, 1),
+    ("Z-SCSTD", float, 0, 1), ("Z-FPEMED", float, 0, 1),
+    ("Z-FPESTD", float, 0, 1),
+    ("T-NSIGMA", int, 0, 1), ("T-LFLUX", float, 0, 1),
+    ("T-NTRANS", int, 1, 1), ("T-FTRANS", float, 0, 1),
+    ("T-LFNU", float, 0, 1), ("T-LMAG", float, 0, 1),
+    ("T-NFAKE", int, 0, 1), ("T-FAKESN", float, 0, 1),
+    ("MC-P", bool, 0, 0), ("MC-V", str, 0, 1), ("MC-MODEL", str, 0, 1),
+    ("TDUMCAT", bool, 0, 0), ("TQC-FLAG", str, 1, 0),
+]
+
+
+def _per_channel_contract(nchan: int = 16) -> list:
+    out = []
+    for c in range(1, nchan + 1):
+        out += [(f"GAIN{c}", float, 0, 1), (f"BIASM{c}", float, 0, 1),
+                (f"RDN{c}", float, 0, 1), (f"VFITOK{c}", bool, 0, 1),
+                (f"SATLEV{c}", float, 0, 1),
+                (f"BIAS{c}A0", float, 0, 1), (f"BIAS{c}A1", float, 0, 1),
+                (f"BKG-CF{c}", float, 0, 1)]
+    return out
+
+
 HEADER_CONTRACT = {
-    "full": {
-        "MJD-OBS": ((float,), False),
-        "EXPTIME": ((float, int), False),
-        "FILTER": ((str,), False),
-        "RDNOISE": ((float,), False),
-        "BIASMEAN": ((float,), False),
-        "SATURATE": ((float, int), False),
-        "NCOSMICS": ((float, int), False),
-        "NSATS": ((int,), False),
-        "NOBJECTS": ((int,), False),
-        "S-SEEING": ((float,), True),
-        "S-BKG": ((float,), True),
-        "S-BKGSTD": ((float,), True),
-        "QC-FLAG": ((str,), False),
-    },
-    "trans": {
-        "T-NTRANS": ((int,), False),
-        "TQC-FLAG": ((str,), False),
-    },
+    "raw": {k: (dt, bool(req), bool(n))
+            for k, dt, req, n in _RAW_CONTRACT},
+    "full": {k: (dt, bool(req), bool(n))
+             for k, dt, req, n in _FULL_CONTRACT
+             + _per_channel_contract()},
+    "trans": {k: (dt, bool(req), bool(n))
+              for k, dt, req, n in _TRANS_CONTRACT},
 }
 
 
-def verify_header(h, htype: str = "full") -> list:
+def verify_header(h, htype: str = "full", strict: bool = False):
     """Validate a product header against the dtype contract.
 
-    Returns a list of problem strings (reference verify_header,
-    blackbox.py:2893-3256).
+    Returns a list of ERROR strings: required keywords that are missing
+    or carry a disallowed None (reference verify_header raises for its
+    DB keys, blackbox.py:3235-3248).  dtype mismatches and missing
+    optional keys are logged as warnings (reference behaviour), or
+    included in the error list when ``strict``.
     """
-    problems = []
-    for key, (types, none_ok) in HEADER_CONTRACT.get(htype, {}).items():
+    errors, warnings = [], []
+    for key, (dtype, required, none_ok) in \
+            HEADER_CONTRACT.get(htype, {}).items():
         if key not in h:
-            problems.append(f"{htype}: missing {key}")
+            (errors if required else warnings).append(
+                f"{htype}: missing {key}")
             continue
         v = h[key]
         if v is None or (isinstance(v, str) and v == "None"):
             if not none_ok:
-                problems.append(f"{htype}: {key} is None")
+                errors.append(f"{htype}: {key} is None")
             continue
-        if bool not in types and isinstance(v, bool):
-            problems.append(f"{htype}: {key} bool not allowed")
-        elif not isinstance(v, types) and not (
-                float in types and isinstance(v, int)):
-            problems.append(f"{htype}: {key} has type {type(v).__name__}")
-    return problems
+        ok = isinstance(v, dtype)
+        if dtype is float:
+            ok = isinstance(v, (float, int)) and not isinstance(v, bool)
+        elif dtype is int:
+            ok = isinstance(v, int) and not isinstance(v, bool)
+        elif dtype is bool:
+            ok = isinstance(v, bool)
+        if not ok:
+            warnings.append(
+                f"{htype}: {key} has type {type(v).__name__}, "
+                f"expected {dtype.__name__}")
+    for w in warnings:
+        log.debug("verify_header: %s", w)
+    return errors + warnings if strict else errors

@@ -14,7 +14,9 @@ Range entry semantics (matching the reference contract):
   - ``sigma``:    (expected, std) expanded with n_std = [2, 4, 7]
   - ``exp_abs``:  [(expected, tol), ...] — |value - expected| <= tol
   - ``exp_frac``: [(expected, frac), ...] — |(value-E)/E| <= frac
-  - ``key``:      expected value is the value of another header key
+  - ``key``:      min_max whose bounds may be expression strings
+                  evaluated against the header (reference set_qc.py
+                  PC-MZPD: ``0.00 + 5*header['PC-ZPSTD']``)
   - ``skip``:     tracked for dummy-catalog defaults only
 
 ``val_range`` may be a dict keyed by filter.  ``key_type`` groups keywords
@@ -48,7 +50,17 @@ class QCResult:
         return self.color == "red"
 
 
-def _expand_ranges(entry, filt):
+# keywords whose sigma windows double near the celestial pole
+# (reference qc.py:278-281: unexplained astrometric scatter increase)
+POLE_RELAX_KEYS = ("A-DRA", "A-DRASTD", "A-DDEC", "A-DDESTD")
+
+
+class _SkipCheck(Exception):
+    """Raised when a range cannot be resolved and the reference would
+    skip (not fail) the keyword — e.g. un-evaluable 'key' expressions."""
+
+
+def _expand_ranges(entry, filt, header=None, key=None):
     vr = entry["val_range"]
     if isinstance(vr, dict):
         # the reference indexes by filter directly and fails loudly on an
@@ -59,12 +71,42 @@ def _expand_ranges(entry, filt):
     vt = entry["val_type"]
     if vt == "sigma":
         exp, std = vr[0] if isinstance(vr[0], (tuple, list)) else vr
-        return [(exp, n * std) for n in N_STD], "exp_abs"
+        ranges, vt = [(exp, n * std) for n in N_STD], "exp_abs"
+        # pole relaxation: double (expected, tolerance) for the
+        # astrometric keywords on object frames near the pole
+        # (qc.py:278-281 — `2 * np.array` after sigma expansion)
+        if (key in POLE_RELAX_KEYS and header is not None
+                and str(header.get("IMAGETYP", "")).lower() == "object"):
+            try:
+                if float(header.get("DEC")) <= -87.0:
+                    ranges = [(2 * e, 2 * t) for e, t in ranges]
+            except (TypeError, ValueError):
+                pass
+        return ranges, vt
+    if vt == "key":
+        # entries may hold expression strings referencing other header
+        # values (e.g. PC-MZPD <= 0.00 + 5*PC-ZPSTD, set_qc.py:334);
+        # un-evaluable expressions skip the check like the reference
+        out = []
+        for r in vr:
+            vals = []
+            for v in r:
+                if isinstance(v, str):
+                    try:
+                        v = eval(v, {"header": header})  # noqa: S307
+                    except Exception:
+                        raise _SkipCheck(key)
+                vals.append(v)
+            out.append(tuple(vals))
+        return out, "min_max"
     return list(vr), vt
 
 
 def _grade(value, ranges, vt, header) -> int:
     """Return color index 0..3 for a value against expanded ranges."""
+    if vt == "bool" and isinstance(value, str):
+        # BGreduce legacy: boolean keywords arriving as 'T' strings
+        value = value.strip() == "T"
     for i, r in enumerate(ranges[:3]):
         if vt == "bool":
             ok = bool(value) == bool(r)
@@ -75,9 +117,6 @@ def _grade(value, ranges, vt, header) -> int:
         elif vt == "exp_frac":
             exp = r[0]
             ok = abs((value - exp) / exp) <= r[1] if exp != 0 else False
-        elif vt == "key":
-            other = header.get(str(r[0])) if hasattr(header, "get") else None
-            ok = other is not None and value == other
         else:
             return 0
         if ok:
@@ -103,6 +142,11 @@ def qc_check(header, ranges_table, telescope: str = "ML1",
             continue
         if key not in header:
             continue
+        # tracking is only required of on-sky object frames
+        # (reference qc.py:196-199)
+        if key == "ISTRACKI" and \
+                str(header.get("IMAGETYP", "object")).lower() != "object":
+            continue
         value = header[key]
         if value is None or (isinstance(value, str) and
                              value in ("None", "NaN")):
@@ -110,8 +154,10 @@ def qc_check(header, ranges_table, telescope: str = "ML1",
             ranges, vt = [], entry["val_type"]
         else:
             try:
-                ranges, vt = _expand_ranges(entry, filt)
+                ranges, vt = _expand_ranges(entry, filt, header, key)
                 ci = _grade(value, ranges, vt, header)
+            except _SkipCheck:
+                continue
             except Exception:
                 ci = 3
                 ranges = []

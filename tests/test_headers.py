@@ -71,6 +71,13 @@ def test_stamp_and_verify():
                              "bkg_median": 800.0, "bkg_std": 30.0},
                          0.5642)
     h["QC-FLAG"] = "green"
+    # step flags + bookkeeping required of every shipped product
+    for key in ("OS-P", "GAIN-P", "MASK-P", "COSMIC-P", "XTALK-P",
+                "NONLIN-P", "MBIAS-P", "MFLAT-P", "SAT-P", "S-P",
+                "A-P", "PSF-P", "PC-P"):
+        h[key] = True
+    h["DUMCAT"] = False
+    h["N-INFNAN"] = 0
     assert h["GAIN7"] == 2.1
     assert h["RDN16"] == 9.0
     assert h["NCOSMICS"] == 5.0     # 300 / 60 s
@@ -80,6 +87,13 @@ def test_stamp_and_verify():
 
     del h["RDNOISE"]
     assert any("RDNOISE" in p for p in verify_header(h, "full"))
+    h["RDNOISE"] = 9.0
+    # required flag missing or None -> hard error
+    del h["COSMIC-P"]
+    assert any("COSMIC-P" in p for p in verify_header(h, "full"))
+    h["COSMIC-P"] = True
+    h["QC-FLAG"] = "None"
+    assert any("QC-FLAG" in p for p in verify_header(h, "full"))
 
 
 def test_stamp_flatstats_and_master():
