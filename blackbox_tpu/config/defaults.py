@@ -88,9 +88,14 @@ class ReductionSettings(Settings):
     niter: int = 3
     sepmed: bool = False
 
-    # satellite-trail detection (set_blackbox.py:222-228)
+    # satellite-trail detection (set_blackbox.py:222-228).  The device
+    # Radon detector runs at 8x binning: the FFT cost drops 4x and
+    # measured sensitivity to faint trails IMPROVES (line noise
+    # averages down faster than the diluted signal; 2-sigma/px trails
+    # detected at bin 8, missed at bin 4).  The reference bins 2x for
+    # the much slower acstools Hough path.
     use_unet_sat: bool = True       # U-Net segmentation (ASTA-equivalent)
-    sat_bin: int = 2                # binning for trail detection
+    sat_bin: int = 8                # binning for trail detection
     sat_model_path: Optional[str] = None
 
     # per-channel constants
@@ -115,10 +120,13 @@ class ReductionSettings(Settings):
     apphot_radii: Any = dataclasses.field(
         default_factory=lambda: [0.66, 1.5, 5.0])  # x FWHM
 
-    # calibration file locations (resolved per deployment)
+    # calibration file locations (resolved per deployment);
+    # bad_pixel_mask may be one path or a {filter: path} dict of FITS
+    # masks on the reduced mosaic (set_blackbox.py:187-196);
+    # nonlin_corr_file holds the (C, D) fractional-correction
+    # polynomial coefficients (.npy) applied when correct_nonlin is on
     cal_dir: Optional[str] = None
     bad_pixel_mask: Any = None
-    crosstalk_file: Any = None
     nonlin_corr_file: Any = None
 
     # data layout roots (set_blackbox.py:89-153)
@@ -129,6 +137,11 @@ class ReductionSettings(Settings):
     ref_dir: Optional[str] = None
     tmp_dir: Optional[str] = None
     keep_tmp: bool = False
+
+    # quicklook products at publication (reference jpg per product,
+    # blackbox.py:862-928, and transient PNG thumbnails, 2674-2826)
+    make_quicklooks: bool = True
+    size_thumbnails: int = 100      # [pix] transient thumbnail cutouts
 
     # processing resources
     nproc: int = 1

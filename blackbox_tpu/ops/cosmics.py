@@ -39,6 +39,10 @@ class LACosmicParams:
     # and the 5x5 windows/scatter cost more than the dense masked
     # median the strip pipeline already fuses well.
     clean_cap: int = 0
+    # separable median filters for detection (astroscrappy sepmed:
+    # faster, quality-risky, disabled by the reference); incompatible
+    # with the windowed iterations (dense only)
+    sepmed: bool = False
     # opt-in fused Pallas kernel (blackbox_tpu.pallas.lacosmic);
     # experimental on current Mosaic — see that module's docstring
     use_pallas: bool = False
@@ -55,12 +59,17 @@ class LACosmicParams:
     window_chunk: int = 256       # windows processed per lax.map step
 
 
-def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams()):
+def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams(),
+             coords=None):
     """Detect and clean cosmic rays.
 
     data    : (H, W) float32, e- (sky-included, calibrated)
     inmask  : (H, W) bool — pixels excluded from detection (bad/saturated/..)
     rdnoise : scalar or (H, W) read-noise [e-]
+    coords  : optional (col0, W_total) when ``data`` is a column block of
+              a larger frame (spatially-sharded path): the border-restore
+              masks then use GLOBAL frame coordinates so shard seams stay
+              bit-identical to the single-device result.
 
     Returns (cleaned data, crmask bool, per-iteration detection counts).
     """
@@ -75,6 +84,22 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams()):
     if inmask is None:
         inmask = jnp.zeros(data.shape, bool)
     counts = []
+
+    if coords is not None:
+        return _lacosmic_dense_coords(data, inmask, rdnoise, p, coords)
+
+    if p.sepmed:
+        from blackbox_tpu.ops.filters import median_filter_sep
+        medf = lambda a, k: median_filter_sep(a, k, p.strip_rows)  # noqa
+        for _ in range(p.niter):
+            cosm, m5un = _detect_math(clean, ~inmask, rdnoise, p, medf,
+                                      laplacian_subsampled)
+            counts.append(jnp.sum(cosm & ~crmask))
+            crmask = crmask | cosm
+            repl = masked_median_filter(clean, crmask | inmask, 5,
+                                        p.strip_rows, fallback=m5un)
+            clean = jnp.where(crmask, repl, clean)
+        return clean, crmask, jnp.stack(counts)
 
     if p.windowed:
         for it in range(p.niter):
@@ -119,6 +144,63 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams()):
                                         fallback=m5un)
             clean = jnp.where(crmask, repl, clean)
 
+    return clean, crmask, jnp.stack(counts)
+
+
+def _lacosmic_dense_coords(data, inmask, rdnoise, p, coords):
+    """Dense iterations on a column block with GLOBAL border masks.
+
+    Bit-identical to the unsharded dense path on the corresponding
+    frame columns: the median/Laplacian border restores and the masked
+    cleaning use frame coordinates, so only true frame borders keep
+    input values — shard seams get real stencil results (their data
+    comes from the halo exchange).
+    """
+    from blackbox_tpu.ops.filters import (
+        _strip_apply_raw, _sc_column_views, _sc_window_views,
+        sc_select_ops, apply_ops)
+
+    col0, W_total = coords
+    H, W = data.shape
+    ri = jnp.arange(H, dtype=jnp.int32)[:, None]
+    ci = (jnp.asarray(col0, jnp.int32)
+          + jnp.arange(W, dtype=jnp.int32))[None, :]
+
+    def bk(pk):
+        return ((ri < pk) | (ri >= H - pk)
+                | (ci < pk) | (ci >= W_total - pk))
+
+    ring = (ri == 0) | (ri == H - 1) | (ci == 0) | (ci == W_total - 1)
+
+    def medf(a, k):
+        def fn(s):
+            views = _sc_window_views(_sc_column_views(s, k), k)
+            ops, wires = sc_select_ops(k, (k * k // 2,))
+            return apply_ops(views, ops)[wires[0]]
+        out = _strip_apply_raw(a, k, p.strip_rows, fn)
+        return jnp.where(bk(k // 2), a, out)
+
+    def lapf(v):
+        up = jnp.roll(v, 1, 0)
+        dn = jnp.roll(v, -1, 0)
+        lf = jnp.roll(v, 1, 1)
+        rt = jnp.roll(v, -1, 1)
+        pos = lambda a: jnp.maximum(a, 0.0)  # noqa: E731
+        lplus = 0.25 * (pos(2 * v - up - lf) + pos(2 * v - up - rt)
+                        + pos(2 * v - dn - lf) + pos(2 * v - dn - rt))
+        return jnp.where(ring, 0.0, lplus)
+
+    clean = data
+    crmask = jnp.zeros(data.shape, bool)
+    counts = []
+    for _ in range(p.niter):
+        cosm, m5un = _detect_math(clean, ~inmask, rdnoise, p, medf, lapf)
+        counts.append(jnp.sum(cosm & ~crmask))
+        crmask = crmask | cosm
+        bad = crmask | inmask
+        repl = _win_masked_median(clean, bad.astype(jnp.float32), m5un,
+                                  bk(2))
+        clean = jnp.where(crmask, repl, clean)
     return clean, crmask, jnp.stack(counts)
 
 
@@ -249,9 +331,12 @@ def _windowed_pass(clean, crmask, inmask, rdnoise, p, detect: bool):
 
     # ---- active cells -------------------------------------------------
     crp = jnp.zeros((Hc * CS, Wc * CS), bool).at[:H, :W].set(crmask)
-    cell_any = lax.reduce_window(
-        crp.astype(jnp.float32), 0.0, lax.add, (CS, CS), (CS, CS),
-        "VALID") > 0.0
+    # two 1-D reductions, NOT one (CS, CS) window: the 2-D window's
+    # scoped-VMEM stripe at full frame width exceeds the v5e 16 MB limit
+    rows = lax.reduce_window(crp.astype(jnp.float32), 0.0, lax.add,
+                             (CS, 1), (CS, 1), "VALID")
+    cell_any = lax.reduce_window(rows, 0.0, lax.add,
+                                 (1, CS), (1, CS), "VALID") > 0.0
     cnt = jnp.cumsum(cell_any.ravel().astype(jnp.int32))
     nact = cnt[-1]
     ks = jnp.arange(1, cap + 1, dtype=jnp.int32)

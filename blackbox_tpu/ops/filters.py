@@ -310,6 +310,28 @@ def median_filter(img, k: int, strip_rows: int = 264):
     return _restore_border(out, img, p)
 
 
+def median_filter_sep(img, k: int, strip_rows: int = 264):
+    """Separable k x k median: k-median along y then along x.
+
+    The astroscrappy ``sepmed`` variant (~3x cheaper, quality-risky —
+    the reference disables it, set_blackbox.py:215-218); provided so the
+    sepmed knob has a real implementation.  Borders keep the input.
+    """
+    p = k // 2
+    ops = [("ce", a, b) for a, b in transposition_pairs(k)]
+
+    def fn(s):
+        h = s.shape[0] - 2 * p
+        W = s.shape[1] - 2 * p
+        col = apply_ops([s[dy:dy + h, :] for dy in range(k)], ops)[k // 2]
+        row = apply_ops([col[:, dx:dx + W] for dx in range(k)],
+                        ops)[k // 2]
+        return row
+
+    out = _strip_apply_raw(img, k, strip_rows, fn)
+    return _restore_border(out, img, p)
+
+
 def masked_median_filter(img, bad, k: int = 5, strip_rows: int = 264,
                          fallback=None):
     """k x k median over neighbours where ``bad`` is False.

@@ -95,6 +95,7 @@ def build_mask(chan_data, bpm, satlevel_adu, gains, biasm, nx: int = 8,
         "satlev": satlevel_e,                 # (C,) SATLEV1..16 [e-]
         "saturate": jnp.mean(satlevel_e),     # SATURATE
         "mask_sat": mask_sat,                 # for NOBJ-SAT counting
+        "n_infnan": jnp.sum(nonfinite),       # N-INFNAN
     }
     return chan_data, mask, stats
 

@@ -31,6 +31,9 @@ class MasterPolicy:
         default_factory=lambda: {"bias": 20, "dark": 20, "flat": 15})
     ncal_min: int = 3
     fallback_days: int = 31
+    # reject evening flats (reference blackbox.py:4776-4789: BlackGEM
+    # evening flats carry a reflection; UT-fraction heuristic)
+    flat_reject_eve: bool = False
 
 
 def _date_shift(date: str, days: int) -> str:
@@ -97,7 +100,10 @@ class MasterStore:
     # ---- building ----
 
     def individual_cals(self, imgtype: str, date: str, filt=None) -> list:
-        """Reduced individual cal frames within the calendar window."""
+        """Reduced individual cal frames within the calendar window,
+        vetted like the reference's master_prep input selection
+        (blackbox.py:4733-4789): red-flagged frames are rejected, and —
+        when the policy says so — evening flats too."""
         window = self.policy.cal_window.get(imgtype, 3)
         out = []
         for dd in range(-window, window + 1):
@@ -105,27 +111,43 @@ class MasterStore:
             rdir = self.tree.red_dir(d, imgtype)
             pats = list_files(os.path.join(rdir, "*_red.fits*"))
             for p in pats:
-                if filt is not None and f"_{filt}_" not in \
-                        os.path.basename(p) and not self._filter_match(
-                            p, filt):
+                h = self._read_header(p)
+                if h is None:
                     continue
-                out.append((abs(dd), p))
+                if filt is not None and "FILTER" in h and \
+                        str(h["FILTER"]).strip() != str(filt):
+                    continue
+                if str(h.get("QC-FLAG", "green")).strip() == "red":
+                    continue
+                if imgtype == "flat" and self.policy.flat_reject_eve:
+                    try:
+                        frac = float(h.get("MJD-OBS")) % 1.0
+                        # evening (UT frac > 0.5) or just-past-midnight
+                        # summer flats (frac < 0.1)
+                        if frac > 0.5 or frac < 0.1:
+                            continue
+                    except (TypeError, ValueError):
+                        pass
+                out.append((abs(dd), p, h))
         # nearest-to-midnight first, capped (blackbox.py:4852-4868)
         out.sort(key=lambda t: t[0])
         cap = self.policy.ncal_max.get(imgtype, 20)
-        return [p for _, p in out[:cap]]
+        return [(p, h) for _, p, h in out[:cap]]
 
     @staticmethod
-    def _filter_match(path: str, filt) -> bool:
+    def _read_header(path: str):
         try:
             # tile-compressed products carry the header on the bintable
-            # extension; scan every HDU for the FILTER card
+            # extension; scan every HDU and merge the cards
+            merged = None
             for _, h in read_fits(path):
-                if "FILTER" in h:
-                    return str(h["FILTER"]).strip() == str(filt)
+                if merged is None:
+                    merged = h
+                elif len(h.keys()) > len(merged.keys()):
+                    merged = h
+            return merged
         except Exception:
-            pass
-        return False
+            return None
 
     def ensure_master(self, imgtype: str, date: str, geom, filt=None,
                       norm_sec=None, telescope=None):
@@ -172,17 +194,18 @@ class MasterStore:
         import jax.numpy as jnp
         from blackbox_tpu.pipeline import masters as M
 
-        stack = []
-        for f in files:
-            img, h0 = read_rice(f)
+        stack, headers = [], []
+        for f, h0 in files:
+            img, _ = read_rice(f)
             stack.append(np.asarray(geom.disassemble(
                 np.asarray(img, np.float32))))
+            headers.append(h0)
         cube = jnp.asarray(np.stack(stack))        # (N, C, ych, xch)
 
         h = Header()
         h["IMAGETYP"] = (f"m{imgtype}", "master frame type")
         h["NUSED"] = (len(files), "number of frames combined")
-        for i, f in enumerate(files[:20]):
+        for i, (f, _) in enumerate(files[:20]):
             h[f"ORIG{i + 1:02d}"] = (os.path.basename(f), "input frame")
         if filt is not None:
             h["FILTER"] = (str(filt), "filter")
@@ -193,7 +216,15 @@ class MasterStore:
                 norm_sec = (slice(H // 2 - H // 8, H // 2 + H // 8),
                             slice(W // 2 - W // 8, W // 2 + W // 8))
             master, stats = M.master_flat(cube, geom, norm_sec)
-        else:                                      # bias and dark
+            self._stamp_dither(h, headers)
+        elif imgtype == "dark":
+            # exposure-time-normalised dark current [e-/s]
+            # (reference master dark, blackbox.py:1720-1743)
+            exptimes = jnp.asarray(
+                [max(float(h0.get("EXPTIME", 1.0) or 1.0), 1e-6)
+                 for h0 in headers], jnp.float32)
+            master, stats = M.master_dark(cube, exptimes)
+        else:                                      # bias
             master, stats = M.master_bias(cube)
         from blackbox_tpu.pipeline.headers import stamp_master
         stamp_master(h, imgtype,
@@ -201,3 +232,31 @@ class MasterStore:
         from blackbox_tpu.qc.engine import run_qc_check
         run_qc_check(h, tel, check_key_type=f"m{imgtype}")
         return np.asarray(geom.assemble(master)), h
+
+    @staticmethod
+    def _stamp_dither(h, headers) -> None:
+        """Flat dithering check (reference blackbox.py:5027-5055):
+        consecutive pointing offsets >= 5 arcsec; FLATDITH requires a
+        2/3 majority."""
+        from blackbox_tpu.astro.wcs import haversine
+        ra, dec = [], []
+        for h0 in headers:
+            try:
+                ra.append(float(h0.get("RA")))
+                dec.append(float(h0.get("DEC")))
+            except (TypeError, ValueError):
+                pass
+        noffset, off_mean = 0, 0.0
+        if len(ra) > 1:
+            ra_a, dec_a = np.asarray(ra), np.asarray(dec)
+            off = 3600.0 * haversine(ra_a, dec_a, np.roll(ra_a, 1),
+                                     np.roll(dec_a, 1))
+            mask = off >= 5.0
+            noffset = int(np.sum(mask))
+            if noffset:
+                off_mean = float(np.mean(off[mask]))
+        h["N-OFFSET"] = (noffset, "number of flats offset > 5 arcsec")
+        h["OFF-MEAN"] = (round(off_mean, 2), "[arcsec] mean dither offset")
+        h["FLATDITH"] = (bool(len(headers) and
+                              noffset / len(headers) >= 0.66),
+                         "majority of flats were dithered")

@@ -62,15 +62,121 @@ class RunReport:
 
 def run_day(pipeline, date: str, image_filter: Optional[Callable] = None,
             force: bool = False) -> RunReport:
-    """Batch-reduce one night's raw directory (reference day mode)."""
+    """Batch-reduce one night's raw directory (reference day mode).
+
+    With ``settings.device_batch > 1`` the science frames' device work
+    (calibration + extraction) runs as sharded multi-frame batches over
+    the available devices — N chips reduce N frames per step — and each
+    frame's host publication then consumes the precomputed outputs.
+    """
     raw_dir = pipeline.tree.raw_dir(date)
     paths = list_files(raw_dir + "/*.fits*")
     if image_filter:
         paths = [p for p in paths if image_filter(p)]
     report = RunReport()
-    for p in sort_files(paths):
-        report.add(p, pipeline.process_file(p, force=force))
+    db = int(getattr(pipeline.settings, "device_batch", 1) or 1)
+    ordered = sort_files(paths)
+    if db <= 1:
+        for p in ordered:
+            report.add(p, pipeline.process_file(p, force=force))
+        return report
+
+    # calibration frames first (they feed the masters), one at a time
+    objects = []
+    for p in ordered:
+        try:
+            t = str(read_fits(p)[0][1].get("IMAGETYP",
+                                           "object")).strip().lower()
+        except Exception:
+            t = "object"
+        if t == "object":
+            objects.append(p)
+        else:
+            report.add(p, pipeline.process_file(p, force=force))
+    _run_batched_objects(pipeline, objects, db, report, force)
     return report
+
+
+def _run_batched_objects(pipeline, paths, db: int, report: RunReport,
+                         force: bool) -> None:
+    """Device-batched science reduction: vmapped calibrate+extract over
+    frame stacks sharded across devices, host publication per frame."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blackbox_tpu.pipeline.reduce import (calibrate_detector,
+                                              extract_catalog)
+
+    ctx = pipeline.ctx
+    geom = pipeline.geom
+    xt = pipeline.xtalk
+    nl = pipeline.nonlin_coeffs
+
+    def one(chan, osv, osh, mbias, mflat, bpm):
+        sci, mask_m, stats = calibrate_detector(
+            ctx, chan, osv, osh, mbias, mflat, bpm, xt, nl)
+        ext = extract_catalog(ctx, sci, mask_m)
+        return sci, mask_m, stats, ext
+
+    batched = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None, None, None)))
+
+    # group by (night date, filter): those share masters and BPM
+    groups: dict = {}
+    for p in paths:
+        try:
+            _, h = read_fits(p)[0]
+            from blackbox_tpu.orchestration.paths import night_date
+            d = night_date(float(h.get("MJD-OBS", 60000.0))
+                           if "MJD-OBS" in h else str(h["DATE-OBS"]),
+                           pipeline.site[1])
+            f = str(h.get("FILTER", "q")).strip()
+            groups.setdefault((d, f), []).append(p)
+        except Exception:
+            report.add(p, pipeline.process_file(p, force=force))
+
+    ndev = max(len(jax.devices()), 1)
+    for (d, f), group in groups.items():
+        mb, _ = pipeline.masters.ensure_master("bias", d, geom) \
+            if ctx.subtract_mbias else (None, None)
+        mf, _ = pipeline.masters.ensure_master("flat", d, geom, filt=f)
+        mbias = None if mb is None else jnp.asarray(
+            geom.disassemble(np.asarray(mb, np.float32)))
+        mflat = None if mf is None else jnp.asarray(
+            geom.disassemble(np.asarray(mf, np.float32)))
+        bpm_np = pipeline._load_bpm(f)
+        bpm = None if bpm_np is None else jnp.asarray(bpm_np)
+
+        for b0 in range(0, len(group), db):
+            chunk = group[b0:b0 + db]
+            stacks, ok_paths = [], []
+            for p in chunk:
+                try:
+                    raw, _h = read_fits(p)[0]
+                    stacks.append(geom.split_raw(
+                        np.asarray(raw, np.float32)))
+                    ok_paths.append(p)
+                except Exception:
+                    report.add(p, pipeline.process_file(p, force=force))
+            if not ok_paths:
+                continue
+            batch = tuple(jnp.asarray(np.stack([s[k] for s in stacks]))
+                          for k in range(3))
+            if ndev > 1 and len(ok_paths) > 1:
+                from blackbox_tpu.parallel.mesh import (make_mesh,
+                                                        shard_batch)
+                mesh = make_mesh(min(ndev, len(ok_paths)), 1)
+                batch = shard_batch(batch, mesh)
+            sci_b, mask_b, stats_b, ext_b = batched(*batch, mbias,
+                                                    mflat, bpm)
+            for k, p in enumerate(ok_paths):
+                sl = jax.tree_util.tree_map(lambda x: x[k], ext_b)
+                st = jax.tree_util.tree_map(lambda x: x[k], stats_b)
+                report.add(p, pipeline.process_file(
+                    p, force=force,
+                    device_override={"sci": sci_b[k],
+                                     "mask": mask_b[k],
+                                     "stats": st, "ext": sl}))
 
 
 def run_night(pipeline, date: str, *,

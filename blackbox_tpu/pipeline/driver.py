@@ -77,7 +77,7 @@ class Pipeline:
                  sso_elements: Optional[list] = None,
                  update_headertables: bool = True,
                  trailnet_params=None, vetnet_params=None,
-                 blind_index=None, xtalk_coeffs=None):
+                 blind_index=None, xtalk_coeffs=None, field_grid=None):
         import jax
 
         self.tree = tree
@@ -87,14 +87,39 @@ class Pipeline:
             self.settings, telescope)
         self.geom = self.ctx.geom
         self.site = get_par(self.settings.site, telescope)
-        self.masters = MasterStore(tree, telescope)
+        from blackbox_tpu.orchestration.masterstore import MasterPolicy
+        self.masters = MasterStore(tree, telescope, MasterPolicy(
+            cal_window=dict(self.settings.cal_window),
+            ncal_max=dict(self.settings.ncal_max),
+            flat_reject_eve=bool(get_par(self.settings.flat_reject_eve,
+                                         telescope))))
         self.ref_catalog = ref_catalog
         self.ext_coeff = ext_coeff
         self.subtract_refs = subtract_refs
         self.sso_elements = sso_elements or []
         self.update_headertables = update_headertables
+        # survey field grid {field_id: (ra, dec)} for the RADECOFF
+        # pointing check (reference blackbox.py:5529-5594)
+        self.field_grid = field_grid
         # optional U-Net trail segmentation (ASTA equivalent) applied on
-        # top of the Radon detector's mask
+        # top of the Radon detector's mask; params may come from the
+        # sat_model_path setting (reference set_blackbox.py:222-228)
+        if (trailnet_params is None
+                and getattr(self.settings, "use_unet_sat", False)
+                and getattr(self.settings, "sat_model_path", None)):
+            mp = str(self.settings.sat_model_path)
+            try:
+                if mp.endswith((".h5", ".hdf5", ".keras")):
+                    # production ASTA weight file (keras)
+                    from blackbox_tpu.models.trailnet import \
+                        convert_keras_weights
+                    trailnet_params = convert_keras_weights(mp)
+                else:
+                    from blackbox_tpu.models.trailnet import load_params
+                    trailnet_params = load_params(mp)
+            except Exception:
+                log.exception("could not load trail U-Net weights "
+                              "from %s", mp)
         self.trailnet_params = trailnet_params
         # optional real/bogus CNN (MeerCRAB equivalent, MC-P contract)
         self.vetnet_params = vetnet_params
@@ -115,30 +140,71 @@ class Pipeline:
         else:
             self.xtalk = None
 
+        # non-linearity coefficients: (C, D) fractional-correction
+        # polynomial from the calibration store (reference pickled
+        # splines, blackbox.py:7394-7437 / set_blackbox.py:202)
+        self.nonlin_coeffs = None
+        if self.ctx.correct_nonlin and \
+                getattr(self.settings, "nonlin_corr_file", None):
+            try:
+                self.nonlin_coeffs = np.load(
+                    self.settings.nonlin_corr_file).astype(np.float32)
+            except Exception:
+                log.exception("could not load non-linearity coefficients "
+                              "from %s", self.settings.nonlin_corr_file)
+
+        # static per-filter bad-pixel masks, loaded lazily per filter
+        # (reference set_blackbox.py:187-196 / blackbox.py:4375-4416)
+        self._bpm_cache = {}
+
         ctx_ = self.ctx
         xt = self.xtalk
+        nl = self.nonlin_coeffs
         self._calibrate = jax.jit(
-            lambda c, v, h, mb, mf: calibrate_detector(
-                ctx_, c, v, h, mb, mf, None, xt))
+            lambda c, v, h, mb, mf, bpm: calibrate_detector(
+                ctx_, c, v, h, mb, mf, bpm, xt, nl))
         # calibration frames: no crosstalk (the reference's bias/flat
         # early-returns happen before xtalk_corr, blackbox.py:1628-1902)
         self._calibrate_cal = jax.jit(
-            lambda c, v, h, mb, mf: calibrate_detector(
-                ctx_, c, v, h, mb, mf, None, None))
+            lambda c, v, h, mb, mf, bpm: calibrate_detector(
+                ctx_, c, v, h, mb, mf, bpm, None, nl))
         self._calibrate_nomaster = jax.jit(
             lambda c, v, h: calibrate_detector(
                 ctx_, c, v, h, None, None, None, None))
         self._extract = jax.jit(lambda s, m: extract_catalog(ctx_, s, m))
 
+    def _load_bpm(self, filt: str):
+        """(C, ych, xch) uint8 static bad-pixel mask for a filter, or
+        None.  ``bad_pixel_mask`` may be one path or a per-filter dict."""
+        spec = getattr(self.settings, "bad_pixel_mask", None)
+        if spec is None:
+            return None
+        path = spec.get(filt) if isinstance(spec, dict) else spec
+        if not path:
+            return None
+        if path not in self._bpm_cache:
+            try:
+                hdus = read_fits(path)
+                data = next(d for d, _ in hdus if d is not None
+                            and not isinstance(d, dict))
+                self._bpm_cache[path] = np.asarray(
+                    self.geom.disassemble(np.asarray(data)), np.uint8)
+            except Exception:
+                log.exception("could not load bad-pixel mask %s", path)
+                self._bpm_cache[path] = None
+        return self._bpm_cache[path]
+
     # ------------------------------------------------------------ entry
 
     def process_file(self, path: str, force: bool = False,
                      img_reduce: bool = True, cat_extract: bool = True,
-                     trans_extract: bool = True) -> FrameResult:
+                     trans_extract: bool = True,
+                     device_override=None) -> FrameResult:
         t0 = time.time()
         try:
             return self._process(path, force, img_reduce, cat_extract,
-                                 trans_extract)
+                                 trans_extract,
+                                 device_override=device_override)
         except Exception as e:          # frame-level containment
             log.exception("frame %s failed", path)
             return FrameResult(status="error", error=f"{type(e).__name__}: {e}")
@@ -147,7 +213,7 @@ class Pipeline:
                      time.time() - t0)
 
     def _process(self, path, force, img_reduce, cat_extract,
-                 trans_extract) -> FrameResult:
+                 trans_extract, device_override=None) -> FrameResult:
         import jax.numpy as jnp
 
         try:
@@ -163,7 +229,7 @@ class Pipeline:
         if problems:
             return FrameResult(status="rejected",
                                error="; ".join(problems))
-        h = set_header(h, self.site)
+        h = set_header(h, self.site, field_grid=self.field_grid)
         # raw QC gate (reference blackbox.py:1095: red => abort)
         flag = run_qc_check(h, self.telescope, check_key_type="raw")
         if flag == "red":
@@ -179,149 +245,215 @@ class Pipeline:
         if not plan:
             return FrameResult(status="skipped", header=h)
 
-        # ---- calibration (device program #1) ----
-        chan, osv, osh = self.geom.split_raw(
-            np.asarray(raw, np.float32))
-        args = (jnp.asarray(chan), jnp.asarray(osv), jnp.asarray(osh))
+        # granular resume (reference blackbox.py:2096-2190): when the
+        # _red products already exist and only the catalog/transient
+        # stages are missing, reuse the published image instead of
+        # recalibrating from raw
+        reused = None
+        if imgtype == "object" and "img_reduce" not in plan:
+            reused = self._load_published_red(date, base)
+        if reused is not None:
+            sci_np, mask_np, h = reused
+            h["RED-REUSED"] = (True, "published _red products reused?")
+            sci = jnp.asarray(sci_np)
+            mask = jnp.asarray(mask_np)
+            stats = {}
+            rdir = self.tree.red_dir(date, imgtype)
+            products = []
 
-        def _master_keys(tag: str, mh):
-            # provenance of the master applied (reference MBIAS-F /
-            # MB-NDAYS, MFLAT-F / MF-NDAYS keys, blackbox.py:1688, 1835)
-            if mh is None:
-                return
-            if "MASTERF" in mh:
-                h[f"M{tag}-F"] = (str(mh["MASTERF"]),
-                                  f"master {tag.lower()} applied")
-            if "MDATE" in mh:
-                try:
-                    d0 = datetime.date(int(date[:4]), int(date[4:6]),
-                                       int(date[6:8]))
-                    md = str(mh["MDATE"])
-                    d1 = datetime.date(int(md[:4]), int(md[4:6]),
-                                       int(md[6:8]))
-                    h[f"M{tag[0]}-NDAYS"] = (
-                        abs((d0 - d1).days),
-                        f"[days] age of master {tag.lower()}")
-                except (ValueError, TypeError):
-                    pass
+            def ship_log(result_line: str):
+                lg = os.path.join(rdir, base + "_red.log")
+                lines = [f"{time.strftime('%Y-%m-%dT%H:%M:%S')} "
+                         f"{os.path.basename(path)} [{imgtype}/{filt}] "
+                         f"{result_line}"]
+                get_backend(lg).write_bytes(
+                    lg, "\n".join(lines).encode() + b"\n")
+                products.append(lg)
+            exptime = float(h.get("EXPTIME", 1.0))
+            pixscale = self.settings.pixscale
+        else:
+            # ---- calibration (device program #1) ----
+            chan, osv, osh = self.geom.split_raw(
+                np.asarray(raw, np.float32))
+            args = (jnp.asarray(chan), jnp.asarray(osv), jnp.asarray(osh))
 
-        h["BIAS-P"] = (False, "bias corrected?")
-        h["FLAT-P"] = (False, "flat-fielded?")
-        mbias = mflat = None
-        if imgtype == "object" or imgtype == "flat":
-            if self.ctx.subtract_mbias:
-                mb, mbh = self.masters.ensure_master("bias", date,
-                                                     self.geom)
-                if mb is not None:
-                    mbias = jnp.asarray(self.geom.disassemble(
-                        np.asarray(mb, np.float32)))
-                    h["BIAS-P"] = True
-                    _master_keys("BIAS", mbh)
-        if imgtype == "object":
-            mf, mfh = self.masters.ensure_master("flat", date, self.geom,
-                                                 filt=filt)
-            if mf is not None:
-                mflat = jnp.asarray(self.geom.disassemble(
-                    np.asarray(mf, np.float32)))
-                h["FLAT-P"] = True
-                _master_keys("FLAT", mfh)
+            def _master_keys(tag: str, mh):
+                # provenance of the master applied (reference MBIAS-F /
+                # MB-NDAYS, MFLAT-F / MF-NDAYS keys, blackbox.py:1688, 1835)
+                if mh is None:
+                    return
+                if "MASTERF" in mh:
+                    h[f"M{tag}-F"] = (str(mh["MASTERF"]),
+                                      f"master {tag.lower()} applied")
+                if "MDATE" in mh:
+                    try:
+                        d0 = datetime.date(int(date[:4]), int(date[4:6]),
+                                           int(date[6:8]))
+                        md = str(mh["MDATE"])
+                        d1 = datetime.date(int(md[:4]), int(md[4:6]),
+                                           int(md[6:8]))
+                        h[f"M{tag[0]}-NDAYS"] = (
+                            abs((d0 - d1).days),
+                            f"[days] age of master {tag.lower()}")
+                    except (ValueError, TypeError):
+                        pass
 
-        cal_fn = (self._calibrate if imgtype == "object"
-                  else self._calibrate_cal)
-        sci, mask, stats = cal_fn(*args, mbias, mflat)
-        if self.trailnet_params is not None and imgtype == "object":
-            from blackbox_tpu.core import maskbits
-            from blackbox_tpu.models.trailnet import segment_trails
-            import jax.numpy as jnp
-            tmask, _ = segment_trails(self.trailnet_params, sci)
-            mask = jnp.where(
-                tmask & ((mask & maskbits.EDGE) == 0),
-                mask | maskbits.SATELLITE, mask)
-            h["ASTA-P"] = (True, "U-Net trail segmentation applied?")
-        stats = {k: np.asarray(v) for k, v in stats.items()}
-        sci_np = np.asarray(sci, np.float32)
-        mask_np = np.asarray(mask, np.uint8)
+            h["MBIAS-P"] = (False, "corrected for master bias?")
+            h["MFLAT-P"] = (False, "corrected for master flat?")
+            h["NONLIN-P"] = (self.nonlin_coeffs is not None,
+                             "corrected for non-linearity?")
+            mbias = mflat = None
+            if imgtype in ("object", "flat", "dark"):
+                if self.ctx.subtract_mbias:
+                    mb, mbh = self.masters.ensure_master("bias", date,
+                                                         self.geom)
+                    if mb is not None:
+                        mbias = jnp.asarray(self.geom.disassemble(
+                            np.asarray(mb, np.float32)))
+                        h["MBIAS-P"] = True
+                        _master_keys("BIAS", mbh)
+            if imgtype == "object":
+                mf, mfh = self.masters.ensure_master("flat", date, self.geom,
+                                                     filt=filt)
+                if mf is not None:
+                    mflat = jnp.asarray(self.geom.disassemble(
+                        np.asarray(mf, np.float32)))
+                    h["MFLAT-P"] = True
+                    _master_keys("FLAT", mfh)
 
-        # exact component counts on the host (the device-side Euler
-        # estimate needs hole-free masks, which flood-filling cannot
-        # guarantee at 10.5k²); the mask is fetched for writing anyway
-        try:
-            from scipy import ndimage
-            from blackbox_tpu.core import maskbits as mb
-            eight = np.ones((3, 3), np.int8)
-            stats["ncosmics"] = ndimage.label(
-                (mask_np & mb.COSMIC) != 0, eight)[1]
-            stats["nobj_sat"] = ndimage.label(
-                (mask_np & mb.SATURATED) != 0, eight)[1]
-        except ImportError:
-            pass
+            # static per-filter bad-pixel mask (reference blackbox.py:
+            # 4375-4416: mask_init seeds from the bad_pixel_mask FITS)
+            bpm = None
+            if imgtype in ("object", "flat"):
+                b = self._load_bpm(filt)
+                if b is not None:
+                    bpm = jnp.asarray(b)
+                    h["BPM-F"] = (os.path.basename(
+                        str(self.settings.bad_pixel_mask.get(filt)
+                            if isinstance(self.settings.bad_pixel_mask, dict)
+                            else self.settings.bad_pixel_mask)),
+                        "static bad-pixel mask applied")
 
-        exptime = float(h["EXPTIME"]) if imgtype == "object" else 1.0
-        pixscale = self.settings.pixscale
-        stamp_calibration(h, stats, self.ctx.gains, pixscale, exptime)
-        h["OS-P"] = (True, "overscan corrected?")
-        h["GAIN-P"] = (True, "gain corrected?")
-        h["XTALK-P"] = (self.xtalk is not None and imgtype == "object",
-                        "corrected for crosstalk?")
-        h["MASK-P"] = (True, "mask built?")
-        h["COSMIC-P"] = (True, "cosmic rays rejected?")
-        h["SAT-P"] = (bool(self.ctx.detect_sats), "satellites detected?")
+            cal_fn = (self._calibrate if imgtype == "object"
+                      else self._calibrate_cal)
+            if device_override is not None:
+                # device work precomputed by the batched multi-chip
+                # runner (scheduler.run_day with device_batch > 1)
+                sci = device_override["sci"]
+                mask = device_override["mask"]
+                stats = dict(device_override["stats"])
+            else:
+                sci, mask, stats = cal_fn(*args, mbias, mflat, bpm)
+            if self.trailnet_params is not None and imgtype == "object":
+                from blackbox_tpu.core import maskbits
+                from blackbox_tpu.models.trailnet import segment_trails
+                import jax.numpy as jnp
+                tmask, _ = segment_trails(self.trailnet_params, sci)
+                mask = jnp.where(
+                    tmask & ((mask & maskbits.EDGE) == 0),
+                    mask | maskbits.SATELLITE, mask)
+                h["ASTA-P"] = (True, "U-Net trail segmentation applied?")
+            stats = {k: np.asarray(v) for k, v in stats.items()}
+            sci_np = np.asarray(sci, np.float32)
+            mask_np = np.asarray(mask, np.uint8)
 
-        rdir = self.tree.red_dir(date, imgtype)
-        get_backend(rdir).make_dir(rdir)
-        products = []
+            # exact component counts on the host (the device-side Euler
+            # estimate needs hole-free masks, which flood-filling cannot
+            # guarantee at 10.5k²); the mask is fetched for writing anyway
+            try:
+                from scipy import ndimage
+                from blackbox_tpu.core import maskbits as mb
+                eight = np.ones((3, 3), np.int8)
+                stats["ncosmics"] = ndimage.label(
+                    (mask_np & mb.COSMIC) != 0, eight)[1]
+                stats["nobj_sat"] = ndimage.label(
+                    (mask_np & mb.SATURATED) != 0, eight)[1]
+            except ImportError:
+                pass
 
-        def ship_log(result_line: str):
-            # per-image logfile shipped with the products
-            # (reference blackbox.py:1311-1318, 3840-3854)
-            lg = os.path.join(rdir, base + "_red.log")
-            lines = [f"{time.strftime('%Y-%m-%dT%H:%M:%S')} "
-                     f"{os.path.basename(path)} [{imgtype}/{filt}] "
-                     f"{result_line}"]
-            for k in ("QC-FLAG", "RDNOISE", "NCOSMICS", "NSATS",
-                      "NOBJECTS", "S-SEEING", "PC-ZP", "LIMMAG",
-                      "T-NTRANS"):
-                if k in h:
-                    lines.append(f"  {k} = {h[k]}")
-            get_backend(lg).write_bytes(lg, "\n".join(lines).encode()
-                                        + b"\n")
-            products.append(lg)
+            exptime = float(h["EXPTIME"]) if imgtype == "object" else 1.0
+            pixscale = self.settings.pixscale
+            stamp_calibration(h, stats, self.ctx.gains, pixscale, exptime)
+            h["OS-P"] = (True, "overscan corrected?")
+            h["GAIN-P"] = (True, "gain corrected?")
+            h["XTALK-P"] = (self.xtalk is not None and imgtype == "object",
+                            "corrected for crosstalk?")
+            h["MASK-P"] = (True, "mask built?")
+            h["COSMIC-P"] = (True, "cosmic rays rejected?")
+            h["SAT-P"] = (bool(self.ctx.detect_sats), "satellites detected?")
 
-        # calibration frames: publish and return (blackbox.py:1628-1717)
-        if imgtype in ("bias", "dark", "flat"):
-            if imgtype == "flat":
-                # flat-field quality statistics (reference get_flatstats,
-                # blackbox.py:1770-1785 -> 3661-3820)
-                from blackbox_tpu.ops.flatstats import flat_statistics
-                from blackbox_tpu.pipeline.headers import stamp_flatstats
-                H, W = self.geom.red_shape
-                statsec = (slice(H // 2 - H // 8, H // 2 + H // 8),
-                           slice(W // 2 - W // 8, W // 2 + W // 8))
-                subsize = max(min(H, W) // 8, 8)
-                fs = flat_statistics(jnp.asarray(sci_np),
-                                     jnp.asarray(mask_np), self.geom,
-                                     statsec, subsize)
-                stamp_flatstats(h, {k: np.asarray(v)
-                                    for k, v in fs.items()})
-            run_qc_check(h, self.telescope, check_key_type=imgtype)
-            red = os.path.join(rdir, base + "_red.fits.fz")
-            write_rice(red, sci_np, h, qlevel=32.0)
-            products.append(red)
-            if self.update_headertables and imgtype in ("bias", "flat"):
-                from blackbox_tpu.orchestration.headertable import \
-                    add_headkeys
-                add_headkeys(self.tree, self.telescope, imgtype, [h],
-                             [base + "_red.fits"])
-            ship_log("reduced (calibration frame)")
-            return FrameResult(status="reduced",
-                               qc_flag=str(h["QC-FLAG"]).strip(),
-                               products=products, header=h, stats=stats)
+            rdir = self.tree.red_dir(date, imgtype)
+            get_backend(rdir).make_dir(rdir)
+            products = []
+
+            def ship_log(result_line: str):
+                # per-image logfile shipped with the products
+                # (reference blackbox.py:1311-1318, 3840-3854)
+                lg = os.path.join(rdir, base + "_red.log")
+                lines = [f"{time.strftime('%Y-%m-%dT%H:%M:%S')} "
+                         f"{os.path.basename(path)} [{imgtype}/{filt}] "
+                         f"{result_line}"]
+                for k in ("QC-FLAG", "RDNOISE", "NCOSMICS", "NSATS",
+                          "NOBJECTS", "S-SEEING", "PC-ZP", "LIMMAG",
+                          "T-NTRANS"):
+                    if k in h:
+                        lines.append(f"  {k} = {h[k]}")
+                get_backend(lg).write_bytes(lg, "\n".join(lines).encode()
+                                            + b"\n")
+                products.append(lg)
+
+            # calibration frames: publish and return (blackbox.py:1628-1717)
+            if imgtype in ("bias", "dark", "flat"):
+                if imgtype == "flat":
+                    # flat-field quality statistics (reference get_flatstats,
+                    # blackbox.py:1770-1785 -> 3661-3820)
+                    from blackbox_tpu.ops.flatstats import flat_statistics
+                    from blackbox_tpu.pipeline.headers import stamp_flatstats
+                    H, W = self.geom.red_shape
+                    statsec = (slice(H // 2 - H // 8, H // 2 + H // 8),
+                               slice(W // 2 - W // 8, W // 2 + W // 8))
+                    subsize = max(min(H, W) // 8, 8)
+                    fs = flat_statistics(jnp.asarray(sci_np),
+                                         jnp.asarray(mask_np), self.geom,
+                                         statsec, subsize)
+                    stamp_flatstats(h, {k: np.asarray(v)
+                                        for k, v in fs.items()})
+                run_qc_check(h, self.telescope, check_key_type=imgtype)
+                red = os.path.join(rdir, base + "_red.fits.fz")
+                write_rice(red, sci_np, h, qlevel=32.0)
+                products.append(red)
+                self._quicklook(red, sci_np, h, products)
+                if self.update_headertables and imgtype in ("bias", "flat"):
+                    from blackbox_tpu.orchestration.headertable import \
+                        add_headkeys
+                    add_headkeys(self.tree, self.telescope, imgtype, [h],
+                                 [base + "_red.fits"])
+                if imgtype == "dark" and \
+                        bool(get_par(self.settings.create_mdark,
+                                     self.telescope)):
+                    # master dark for the evening (reference
+                    # blackbox.py:1720-1743; exposure-time-normalised stack)
+                    try:
+                        self.masters.ensure_master("dark", date, self.geom)
+                    except Exception:
+                        log.exception("master dark creation failed")
+                ship_log("reduced (calibration frame)")
+                return FrameResult(status="reduced",
+                                   qc_flag=str(h["QC-FLAG"]).strip(),
+                                   products=products, header=h, stats=stats)
 
         # ---- source extraction (device program #2) ----
-        ext = self._extract(sci, mask)
+        ext = (device_override.get("ext")
+               if device_override is not None else None)
+        if ext is None:
+            ext = self._extract(sci, mask)
         estats = {k: np.asarray(v) for k, v in ext["stats"].items()}
         stamp_extraction(h, estats, pixscale)
+        h["S-P"] = (True, "source extraction succeeded?")
         h["PSF-P"] = (self.ctx.fit_psf, "PSF fitted?")
+        if "psf_nstars" in estats:
+            h["PSF-NOBJ"] = (int(estats["psf_nstars"]),
+                             "stars used in PSF fit")
         if "psf_fwhm_pix" in estats:
             h["PSF-FWHM"] = (round(float(estats["psf_fwhm_pix"])
                                    * pixscale, 3), "[arcsec] PSF FWHM")
@@ -335,6 +467,7 @@ class Pipeline:
                             float(h.get("DEC", -30.0)),
                             pixscale, sci_np.shape)
         h["A-P"] = (False, "astrometry solved?")
+        h["PC-P"] = (False, "photometrically calibrated?")
         zp = None
         if self.ref_catalog is not None:
             radius = 1.2 * pixscale * max(sci_np.shape) / 3600.0
@@ -403,10 +536,38 @@ class Pipeline:
                         ext_coeff=self.ext_coeff)
                     h["LIMMAG"] = (round(limmag, 4),
                                    "[mag] 5-sigma limiting magnitude")
+        if zp is None:
+            # photometric calibration unavailable: fall back to the
+            # per-filter default zeropoint for the depth estimate
+            # (reference set_zogy zp_default contract); PC-P stays False
+            zp_def = self.settings.zp_default
+            zp0 = zp_def.get(filt) if isinstance(zp_def, dict) else zp_def
+            if zp0 is not None and "bkg_std" in estats:
+                h["PC-ZPDEF"] = (True, "default zeropoint used?")
+                limmag = limiting_magnitude(
+                    float(zp0), float(estats["bkg_std"]),
+                    float(estats["s_seeing_pix"]), exptime,
+                    airmass=float(h.get("AIRMASS", 1.0)),
+                    ext_coeff=self.ext_coeff)
+                h["LIMMAG"] = (round(limmag, 4),
+                               "[mag] 5-sigma limiting magnitude "
+                               "(default ZP)")
         wcs.to_header(h)
 
         # ---- full-frame QC; red => dummy catalogs (2018-2048) ----
+        h["DUMCAT"] = (False, "dummy catalog without sources?")
         flag = run_qc_check(h, self.telescope, check_key_type="full")
+
+        # header contract enforcement BEFORE shipping (the reference
+        # calls verify_header at blackbox.py:2573-2574 and raises on
+        # broken required keywords)
+        from blackbox_tpu.pipeline.headers import verify_header
+        problems = verify_header(h, "full")
+        if problems:
+            raise RuntimeError(
+                "header contract violated, not shipping: "
+                + "; ".join(problems[:8]))
+
         red = os.path.join(rdir, base + "_red.fits.fz")
         mask_p = os.path.join(rdir, base + "_mask.fits.fz")
         hdr_p = os.path.join(rdir, base + "_red_hdr.fits")
@@ -415,6 +576,7 @@ class Pipeline:
         write_rice(mask_p, mask_np.astype(np.uint8), h, qlevel=16.0)
         write_image(hdr_p, None, h)
         products += [red, mask_p, hdr_p]
+        self._quicklook(red, sci_np, h, products)
 
         if flag == "red":
             write_dummy_catalog(cat_p, h, "new", self.telescope)
@@ -465,6 +627,42 @@ class Pipeline:
                            qc_flag=str(h["QC-FLAG"]).strip(),
                            products=products, header=h,
                            stats={**stats, **estats})
+
+    def _load_published_red(self, date: str, base: str):
+        """(sci, mask, header) from the published _red products, or
+        None when any piece is missing/unreadable."""
+        rdir = self.tree.red_dir(date, "object")
+        try:
+            sci, _ = read_rice(os.path.join(rdir, base + "_red.fits.fz"))
+            mask, _ = read_rice(os.path.join(rdir,
+                                             base + "_mask.fits.fz"))
+            hdus = read_fits(os.path.join(rdir, base + "_red_hdr.fits"))
+            h = max((hh for _, hh in hdus), key=lambda x: len(x.keys()))
+            return (np.asarray(sci, np.float32),
+                    np.asarray(mask, np.uint8), h)
+        except Exception:
+            log.info("published _red products unusable for %s; "
+                     "recalibrating from raw", base)
+            return None
+
+    # ------------------------------------------------------ quicklooks
+
+    def _quicklook(self, product_path: str, img, h, products: list):
+        """jpg quicklook next to a pixel product (reference
+        blackbox.py:862-928: every shipped image gets one)."""
+        if not getattr(self.settings, "make_quicklooks", True):
+            return
+        try:
+            from blackbox_tpu.report.quicklook import save_jpeg
+            jpg = product_path.replace(".fits.fz", ".jpg").replace(
+                ".fits", ".jpg")
+            title = "{} {} {}".format(
+                os.path.basename(product_path),
+                h.get("DATE-OBS", ""), h.get("QC-FLAG", ""))
+            save_jpeg(jpg, np.asarray(img), title=title)
+            products.append(jpg)
+        except Exception:
+            log.exception("quicklook failed for %s", product_path)
 
     # ------------------------------------------------------- subtraction
 
@@ -542,6 +740,12 @@ class Pipeline:
                           else int(v), "")
         tflag = run_qc_check(h, self.telescope, check_key_type="trans",
                              flag_key="TQC-FLAG")
+        from blackbox_tpu.pipeline.headers import verify_header
+        problems = verify_header(h, "trans")
+        if problems:
+            raise RuntimeError(
+                "transient header contract violated: "
+                + "; ".join(problems[:8]))
 
         products = []
         tcat_p = os.path.join(rdir, base + "_red_trans.fits")
@@ -595,6 +799,27 @@ class Pipeline:
                           "number of SSO matches")
         write_catalog(tcat_p, tcols, h, "trans")
         products.append(tcat_p)
+
+        # PNG thumbnail grid per candidate (reference blackbox.py:
+        # 2674-2826 ships RED/REF/D/SCORR cutouts per transient row)
+        if getattr(self.settings, "make_quicklooks", True) and len(sel):
+            try:
+                from blackbox_tpu.report.quicklook import \
+                    transient_thumbnail_grid
+                png = os.path.join(rdir, base + "_trans.png")
+                out = transient_thumbnail_grid(
+                    png, np.asarray(sci, np.float32),
+                    np.asarray(res.ref_remapped, np.float32),
+                    np.asarray(res.D, np.float32),
+                    np.asarray(res.Scorr, np.float32),
+                    tc["x"][sel], tc["y"][sel],
+                    size=min(int(getattr(self.settings,
+                                         "size_thumbnails", 100)),
+                             min(res.D.shape)))
+                if out:
+                    products.append(out)
+            except Exception:
+                log.exception("transient thumbnails failed for %s", base)
 
         d_p = os.path.join(rdir, base + "_D.fits.fz")
         sc_p = os.path.join(rdir, base + "_Scorr.fits.fz")

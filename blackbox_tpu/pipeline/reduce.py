@@ -61,6 +61,7 @@ class ReduceContext:
     fit_psf: bool = True
     bkg_boxsize: int = 256
     bkg_filtersize: int = 3
+    bkg_nsigma: float = 3.0
     apphot_radii: tuple = (2.0, 4.5, 15.0)   # pixels
     correct_nonlin: bool = False
     subtract_mbias: bool = False
@@ -84,12 +85,19 @@ class ReduceContext:
                                      mode=mode),
             lac_params=LACosmicParams(
                 sigclip=float(get_par(s.sigclip, telescope)),
-                sigfrac=s.sigfrac, objlim=s.objlim, niter=s.niter),
+                sigfrac=s.sigfrac, objlim=s.objlim, niter=s.niter,
+                sepmed=s.sepmed, windowed=not s.sepmed),
             det_params=DetectParams(nsigma=s.det_nsigma,
                                     npix_min=s.det_npix_min,
                                     max_sources=s.max_sources),
+            sat_params=SatDetParams(bin_factor=s.sat_bin),
             bkg_boxsize=min(s.bkg_boxsize, geom.red_shape[0] // 4),
             bkg_filtersize=s.bkg_filtersize,
+            bkg_nsigma=s.bkg_nsigma,
+            # settings radii are in units of FWHM (reference set_zogy
+            # apphot_radii contract); resolved to pixels at the nominal
+            # seeing so the jitted program stays static
+            apphot_radii=tuple(float(r) * 3.0 for r in s.apphot_radii),
             correct_nonlin=s.correct_nonlin,
             subtract_mbias=bool(get_par(s.subtract_mbias, telescope)),
             detect_sats=s.detect_sats,
@@ -201,6 +209,7 @@ def extract_catalog(ctx: ReduceContext, sci, mask_m):
     """Background + detection + aperture photometry on a calibrated frame."""
     bad = mask_m != 0
     mesh, stdm = background_mesh(sci, bad, ctx.bkg_boxsize,
+                                 nsigma=ctx.bkg_nsigma,
                                  filtersize=ctx.bkg_filtersize)
     bkg = mini2back(mesh, sci.shape, ctx.bkg_boxsize)
     bstd = mini2back(stdm, sci.shape, ctx.bkg_boxsize)

@@ -164,6 +164,22 @@ def make_raw_bias(geom: CCDGeometry, rng: np.random.Generator,
     return raw, truth
 
 
+def make_raw_dark(geom: CCDGeometry, rng: np.random.Generator,
+                  telescope: str = "ML1", exptime: float = 60.0,
+                  dark_rate_e: float = 0.5):
+    """Dark frame: bias structure + exposure-scaled dark current."""
+    from blackbox_tpu.config.defaults import GAIN
+    from blackbox_tpu.config.base import get_par
+    C = geom.n_chan
+    gain = np.resize(np.asarray(get_par(GAIN, telescope), np.float32), C)
+    bl, rn, rd, cs = _bias_structure(geom, rng)
+    truth = SynthTruth(bias_level=bl, rdnoise_adu=rn, row_drift=rd,
+                       col_structure=cs, gain=gain)
+    dark_e = np.full(geom.red_shape, dark_rate_e * exptime, np.float32)
+    raw = _electrons_to_raw(geom, rng, dark_e, truth, poisson=True)
+    return raw, truth
+
+
 def make_raw_flat(geom: CCDGeometry, rng: np.random.Generator,
                   telescope: str = "ML1", level_e: float = 30000.0,
                   flat: Optional[np.ndarray] = None):

@@ -30,6 +30,11 @@ def raw_header(telescope: str, imgtype: str, mjd_start: float,
     h["EXPTIME"] = (exptime, "[s] exposure time")
     h["FILTER"] = (filt, "filter")
     h["TELESCOP"] = (telescope, "telescope")
+    if imgtype == "flat":
+        # twilight flats carry (dithered) pointings — the master-flat
+        # dither check reads them (reference blackbox.py:5027-5055)
+        h["RA"] = (round(ra_deg, 6), "[deg] telescope RA")
+        h["DEC"] = (round(dec_deg, 6), "[deg] telescope DEC")
     if imgtype == "object":
         h["OBJECT"] = (str(field_id), "field ID")
         # mount pointing as sexagesimal strings (JNOW, like the TCS):
@@ -64,6 +69,10 @@ def write_observation(path: str, geom: CCDGeometry, rng, imgtype: str,
     if imgtype == "bias":
         raw, truth = make_raw_bias(geom, rng, telescope=telescope)
         exptime = 0.0
+    elif imgtype == "dark":
+        from blackbox_tpu.synth.generator import make_raw_dark
+        raw, truth = make_raw_dark(geom, rng, telescope=telescope,
+                                   exptime=exptime, **synth_kw)
     elif imgtype == "flat":
         raw, truth = make_raw_flat(geom, rng, telescope=telescope,
                                    **synth_kw)
@@ -117,8 +126,16 @@ def night_of_observations(root: str, geom: CCDGeometry, rng,
         ts = mjd2iso(mjd).replace("-", "").replace(":", "")
         name = f"{telescope}_{ts[:8]}_{ts[9:15]}.fits"
         path = os.path.join(d, name)
-        kw = dict(synth_kw, flat=flat) if imgtype == "object" \
-            else ({"flat": flat} if imgtype == "flat" else {})
+        if imgtype == "object":
+            kw = dict(synth_kw, flat=flat)
+        elif imgtype == "flat":
+            # dither twilight flats by ~15" so FLATDITH passes
+            kw = {"flat": flat,
+                  "ra_deg": synth_kw.get("ra_deg", 150.0)
+                  + i * 15.0 / 3600.0,
+                  "dec_deg": synth_kw.get("dec_deg", -30.0)}
+        else:
+            kw = {}
         truth, h = write_observation(
             path, geom, rng, imgtype, telescope, mjd, filt=filt, **kw)
         files.append(path)

@@ -20,10 +20,19 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the suite recompiles identical TINY
 # programs every run — caching cuts repeat runs by minutes on this
-# single-core host
-jax.config.update("jax_compilation_cache_dir",
-                  "/tmp/jax_cache_blackbox_tpu_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+# single-core host.  The dir is fingerprinted by the host CPU: XLA:CPU
+# AOT artifacts are machine-specific, and loading a cache produced on
+# a different box returns CORRUPTED results (observed: garbage masks)
+import hashlib as _hl
+import platform as _pf
+_fp = _hl.md5((_pf.machine() + _pf.processor()
+               + open("/proc/cpuinfo").read().split("model name")[1][:80]
+               ).encode()).hexdigest()[:10]
+if not os.environ.get("BBT_NO_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_cache_blackbox_tpu_tests_{_fp}")
+if not os.environ.get("BBT_NO_CACHE"):
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

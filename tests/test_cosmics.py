@@ -142,3 +142,23 @@ def test_lacosmic_windowed_dense_fallback(rng):
     np.testing.assert_array_equal(np.asarray(md), np.asarray(mw))
     np.testing.assert_array_equal(np.asarray(cd), np.asarray(cw))
     np.testing.assert_array_equal(np.asarray(nd), np.asarray(nw))
+
+
+def test_lacosmic_sepmed_variant(rng):
+    # the sepmed knob must select separable medians and still catch
+    # obvious cosmics (astroscrappy sepmed semantics)
+    from blackbox_tpu.ops.filters import median_filter_sep
+    from scipy import ndimage
+    img = rng.normal(100, 10, (48, 64)).astype(np.float32)
+    got = np.asarray(median_filter_sep(jnp.asarray(img), 5, strip_rows=16))
+    want = ndimage.median_filter(
+        ndimage.median_filter(img, size=(5, 1), mode="nearest"),
+        size=(1, 5), mode="nearest")
+    np.testing.assert_allclose(got[4:-4, 4:-4], want[4:-4, 4:-4])
+
+    frame = rng.normal(300.0, 12.0, (96, 96)).astype(np.float32)
+    frame[40, 40] += 5000.0
+    clean, crm, counts = jax.jit(lambda d: lacosmic(
+        d, None, 10.0, LACosmicParams(sigclip=8.0, strip_rows=32,
+                                      sepmed=True)))(jnp.asarray(frame))
+    assert np.asarray(crm)[40, 40]

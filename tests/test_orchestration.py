@@ -216,3 +216,37 @@ def test_pubsub_event_parsing():
     assert parse_bucket_event(b"", {"bucketId": "b", "objectId": "f.fits.fz",
                                     "eventType": "OBJECT_DELETE"}) is None
     assert parse_bucket_event(b"not json") is None
+
+
+def test_run_day_device_batch_matches_single(tmp_path, rng):
+    """device_batch > 1: science device work runs as a sharded batch;
+    published headers must match the per-frame path."""
+    from blackbox_tpu.config.defaults import ReductionSettings
+    from blackbox_tpu.core.geometry import TINY
+    from blackbox_tpu.orchestration.scheduler import run_day
+    from blackbox_tpu.pipeline.driver import Pipeline
+    from blackbox_tpu.synth.observation import night_of_observations
+    from tests.test_driver import _ctx
+
+    roots = [str(tmp_path / "a"), str(tmp_path / "b")]
+    pipes, reports = [], []
+    for root, db in zip(roots, (1, 2)):
+        rng_i = np.random.default_rng(77)
+        files, truths, tree = night_of_observations(
+            root, TINY, rng_i, date="20260401", nbias=3, nflat=3,
+            nsci=2, nstars=25, ncosmics=3, trail=False, nsat=0)
+        s = ReductionSettings(geometry=TINY, pixscale=20.0,
+                              device_batch=db)
+        pipe = Pipeline(tree, "ML1", s, _ctx(s), subtract_refs=False)
+        reports.append(run_day(pipe, "20260401"))
+    r1, r2 = reports
+    assert r1.nreduced == r2.nreduced > 0
+    sci1 = [res for _, res in r1.results
+            if res.header and str(res.header.get("IMAGETYP")) == "object"]
+    sci2 = [res for _, res in r2.results
+            if res.header and str(res.header.get("IMAGETYP")) == "object"]
+    assert len(sci1) == len(sci2) == 2
+    for a, b in zip(sci1, sci2):
+        assert a.status == b.status == "reduced"
+        assert int(a.header["NOBJECTS"]) == int(b.header["NOBJECTS"])
+        assert a.header["QC-FLAG"] == b.header["QC-FLAG"]
