@@ -91,8 +91,11 @@ def main():
 
     n_iter = 5
     t0 = time.time()
-    for _ in range(n_iter):
-        res = fn(*args)
+    for i in range(n_iter):
+        # perturb the input each iteration: identical repeated calls
+        # can be served from a cache on the tunneled backend
+        a0 = args[0] + jnp.float32(i) * 1e-7
+        res = fn(a0, *args[1:])
     # host transfer forces the queue to drain (block_until_ready alone
     # is unreliable on the tunneled backend)
     float(res["image_sum"])

@@ -174,6 +174,95 @@ def train(steps: int = 300, batch: int = 8, lr: float = 3e-4,
     return params
 
 
+def convert_keras_weights(h5_path: str, tile: int = 256):
+    """Port a keras U-Net weight file (the production ASTA model,
+    reference set_blackbox.py:222-228) onto the flax TrailUNet.
+
+    Keras HDF5 layout: ``model_weights/<layer>/.../{kernel,bias}:0``.
+    Conv2D kernels are (kh, kw, in, out) — flax ``nn.Conv`` identical;
+    Conv2DTranspose kernels are (kh, kw, OUT, IN) and get their channel
+    axes swapped for flax ``nn.ConvTranspose``.  Weights are assigned to
+    our layers in topological order with strict shape checking, so a
+    topology mismatch fails loudly instead of silently mis-porting.
+    """
+    import h5py
+    from flax import traverse_util
+
+    template = init_params(jax.random.PRNGKey(0), tile)
+    flat = traverse_util.flatten_dict(template["params"])
+    # our layers in definition (topological) order
+    ours = sorted(
+        flat.keys(),
+        key=lambda kp: _layer_order(kp))
+
+    # harvest (name, kernel, bias) from the h5 in stored layer order
+    kio = []
+    with h5py.File(h5_path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        names = list(root.attrs.get("layer_names", [])) or list(root)
+        for name in names:
+            name = name.decode() if isinstance(name, bytes) else name
+            if name not in root:
+                continue
+            grp = root[name]
+            ds = {}
+            grp.visititems(
+                lambda p, obj: ds.__setitem__(p.rsplit("/", 1)[-1], obj)
+                if hasattr(obj, "shape") else None)
+            if "kernel:0" in ds:
+                kio.append((name, np.array(ds["kernel:0"]),
+                            np.array(ds.get("bias:0"))))
+
+    kernels = [kp for kp in ours if kp[-1] == "kernel"]
+    if len(kio) != len(kernels):
+        raise ValueError(
+            f"keras model has {len(kio)} weighted layers; TrailUNet "
+            f"has {len(kernels)} — topology mismatch")
+    out = dict(flat)
+    for kp, (name, kern, bias) in zip(kernels, kio):
+        want = flat[kp].shape
+        if kern.shape != want:
+            swapped = np.swapaxes(kern, -1, -2)
+            if "transpose" in name.lower() and swapped.shape == want:
+                kern = swapped        # keras Conv2DTranspose (.., out, in)
+            else:
+                raise ValueError(
+                    f"layer {name}: kernel {kern.shape} != {want}")
+        out[kp] = jnp.asarray(kern, jnp.float32)
+        bkey = kp[:-1] + ("bias",)
+        if bias is not None and bkey in flat:
+            if bias.shape != flat[bkey].shape:
+                raise ValueError(
+                    f"layer {name}: bias {bias.shape} != "
+                    f"{flat[bkey].shape}")
+            out[bkey] = jnp.asarray(bias, jnp.float32)
+    return {"params": traverse_util.unflatten_dict(out)}
+
+
+def _layer_order(key_path) -> tuple:
+    """Topological sort key for TrailUNet parameter paths."""
+    def num(s, pre):
+        try:
+            return int(s.replace(pre, "") or 0)
+        except ValueError:
+            return 0
+
+    parts = [str(p) for p in key_path]
+    # encoder ConvBlock_0..1, bottleneck ConvBlock_2, decoder pairs
+    # (ConvTranspose_i interleaved with ConvBlock_3..), final Conv_0
+    rank = []
+    for p in parts:
+        if p.startswith("ConvBlock_"):
+            i = num(p, "ConvBlock_")
+            rank.append(2 * i if i <= 2 else 5 + 2 * (i - 3) + 1)
+        elif p.startswith("ConvTranspose_"):
+            rank.append(5 + 2 * num(p, "ConvTranspose_"))
+        elif p.startswith("Conv_") and "Block" not in p:
+            rank.append(100 + num(p, "Conv_"))
+    return (tuple(rank), parts[-2] if len(parts) > 1 else "",
+            parts[-1])
+
+
 def save_params(path: str, params):
     from flax import serialization
     with open(path, "wb") as fh:

@@ -25,7 +25,9 @@ class ClipParams:
     A: float = 0.3            # PSF-inaccuracy amplitude (A_swarp)
     nsigma: float = 2.5       # clip threshold in effective sigma
     nmin_clip: int = 3        # below this many images: no clipping
-    protect_frac: float = 0.7 # |model|/peak above this never clipped
+    # clipping disabled within this many FWHM of every saturated star
+    # (reference pass_filters protects <= 5 x FWHM, buildref.py:3784-3870)
+    protect_radius_fwhm: float = 5.0
 
 
 def weighted_coadd(stack, weights):
@@ -40,12 +42,38 @@ def weighted_coadd(stack, weights):
     return co, wsum
 
 
-def clipped_coadd(stack, weights, sigmas, params: ClipParams = ClipParams()):
+def saturation_protect(mask_stack, radius_pix: int):
+    """Pixels within ``radius_pix`` of ANY input's saturated footprint.
+
+    The reference back-projects clipped pixels and discards those within
+    5 x FWHM of a saturated star (pass_filters, buildref.py:3702-3870);
+    with the stack resident the same protection is a separable box
+    dilation of the union saturation mask — every bright star core is
+    protected, not just the frame's brightest.
+    """
+    from jax import lax
+    sat = jnp.any((mask_stack & (maskbits.SATURATED
+                                 | maskbits.SAT_CONNECTED)) != 0, axis=0)
+    r = int(radius_pix)
+    if r <= 0:
+        return sat
+    x = sat.astype(jnp.float32)
+    x = lax.reduce_window(jnp.pad(x, ((r, r), (0, 0))), -jnp.inf,
+                          lax.max, (2 * r + 1, 1), (1, 1), "VALID")
+    x = lax.reduce_window(jnp.pad(x, ((0, 0), (r, r))), -jnp.inf,
+                          lax.max, (1, 2 * r + 1), (1, 1), "VALID")
+    return x > 0.5
+
+
+def clipped_coadd(stack, weights, sigmas, params: ClipParams = ClipParams(),
+                  protect=None):
     """Gruen et al. 2014 outlier-clipped weighted co-add, one pass.
 
     stack   : (N, H, W) remapped, flux-scaled, background-subtracted
     weights : (N, H, W) inverse-variance weights (0 = off-frame/masked)
     sigmas  : (N,) per-image background STD in the common flux scale
+    protect : optional (H, W) bool — clipping disabled there (star
+              cores; see :func:`saturation_protect`)
     Returns (coadd, wsum, nclipped (H, W) int32).
     """
     p = params
@@ -66,12 +94,9 @@ def clipped_coadd(stack, weights, sigmas, params: ClipParams = ClipParams()):
     thresh = p.nsigma * sig + p.A * jnp.abs(model)[None]
     clipped = present & (resid > thresh)
 
-    # protect bright cores: where the model is a substantial fraction of
-    # the local maximum (star centres), clipping is disabled — matches
-    # the reference's saturated-star protection intent
-    if p.protect_frac < 1.0:
-        peak = jnp.max(jnp.abs(model))
-        protect = jnp.abs(model) > p.protect_frac * jnp.maximum(peak, 1e-9)
+    # protect saturated-star surroundings: clipping there eats PSF
+    # wings/cores when seeing varies between inputs
+    if protect is not None:
         clipped = clipped & ~protect[None]
 
     # no clipping when fewer than nmin_clip images contribute

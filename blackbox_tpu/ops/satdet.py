@@ -27,7 +27,9 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class SatDetParams:
-    bin_factor: int = 4          # binning before the transform
+    bin_factor: int = 8          # binning before the transform (see
+                                 # config.defaults sat_bin: 8x is both
+                                 # 2.6x faster and more sensitive)
     n_slopes: int = 101          # slopes in [-1, 1] per orientation
     nsigma: float = 8.0          # peak threshold over profile noise
     min_fill: float = 0.2        # min fraction of line inside the frame

@@ -29,6 +29,16 @@ class SlurmSettings:
     ngaia_thresholds: tuple = (2e5, 5e5, 1e6)
     cpus_by_density: tuple = (2, 4, 6, 8)
     mem_per_cpu_gb: int = 7
+    # partition by image type + field density (the Google driver's
+    # p1gb8/p4gb16t/p8gb32t/p16gb64t scheme, blackbox_slurm_google.py:
+    # 316-365); None entries fall back to partition_default
+    partition_cal: Optional[str] = None          # bias/dark/flat
+    partition_sci: Optional[str] = None          # object, default
+    partition_sci_dense: Optional[str] = None    # ngaia > 2e5
+    partition_sci_vdense: Optional[str] = None   # ngaia > 1e6
+    # optional night reservation + start time (ilifu jobnight/date_begin)
+    reservation: Optional[str] = None
+    begin: Optional[str] = None
 
 
 def cpus_for_field(ngaia: Optional[float],
@@ -39,22 +49,60 @@ def cpus_for_field(ngaia: Optional[float],
     return s.cpus_by_density[k]
 
 
+def partition_for(imgtype: str, ngaia: Optional[float],
+                  s: SlurmSettings = SlurmSettings()) -> str:
+    """Partition by image type and expected Gaia density
+    (blackbox_slurm_google.py:316-365)."""
+    if imgtype in ("bias", "dark", "flat"):
+        return s.partition_cal or s.partition_default
+    part = s.partition_sci or s.partition_default
+    if ngaia is not None:
+        if ngaia > 1e6:
+            part = s.partition_sci_vdense or part
+        elif ngaia > 2e5:
+            part = s.partition_sci_dense or part
+    return part
+
+
+def _directives(job_name: str, log_path: str, partition: str, cpus: int,
+                runtime: str, s: SlurmSettings) -> str:
+    lines = [
+        "#!/bin/bash",
+        f"#SBATCH --job-name={job_name}",
+        f"#SBATCH --partition={partition}",
+        f"#SBATCH --time={runtime}",
+        f"#SBATCH --cpus-per-task={cpus}",
+        f"#SBATCH --mem={cpus * s.mem_per_cpu_gb}G",
+        f"#SBATCH --output={log_path}",
+    ]
+    if s.reservation:
+        lines.append(f"#SBATCH --reservation={s.reservation}")
+    if s.begin:
+        lines.append(f"#SBATCH --begin={s.begin}")
+    return "\n".join(lines)
+
+
 def sbatch_script(image_path: str, telescope: str, job_name: str,
                   log_path: str, s: SlurmSettings = SlurmSettings(),
                   ngaia: Optional[float] = None,
-                  extra_args: str = "") -> str:
+                  extra_args: str = "", imgtype: str = "object") -> str:
     cpus = cpus_for_field(ngaia, s)
-    return f"""#!/bin/bash
-#SBATCH --job-name={job_name}
-#SBATCH --partition={s.partition_default}
-#SBATCH --time={s.runtime}
-#SBATCH --cpus-per-task={cpus}
-#SBATCH --mem={cpus * s.mem_per_cpu_gb}G
-#SBATCH --output={log_path}
+    part = partition_for(imgtype, ngaia, s)
+    head = _directives(job_name, log_path, part, cpus, s.runtime, s)
+    return f"""{head}
 
 {s.python} -m blackbox_tpu --telescope {telescope} \\
     --image {image_path} {extra_args}
 """
+
+
+def command_script(cmd: str, job_name: str, log_path: str,
+                   s: SlurmSettings = SlurmSettings(), cpus: int = 1,
+                   runtime: str = "1:00:00") -> str:
+    head = _directives(job_name, log_path,
+                       s.partition_cal or s.partition_default, cpus,
+                       runtime, s)
+    return f"{head}\n\n{cmd}\n"
 
 
 class SlurmRunner:
@@ -89,20 +137,46 @@ class SlurmRunner:
              "-X"], capture_output=True, text=True)
         return (out.stdout.split() or ["UNKNOWN"])[0]
 
+    def _job_paths(self, name: str, telescope: Optional[str] = None):
+        # per-telescope job trees (blackbox_slurm_google.py keeps one
+        # folder per telescope on the login node)
+        jdir = os.path.join(self.workdir, self.s.job_dir,
+                            *((telescope,) if telescope else ()))
+        os.makedirs(jdir, exist_ok=True)
+        return (os.path.join(jdir, name + ".sh"),
+                os.path.join(jdir, name + ".out"))
+
     def submit_image(self, image_path: str, telescope: str,
                      ngaia: Optional[float] = None,
-                     extra_args: str = "") -> str:
+                     extra_args: str = "",
+                     imgtype: str = "object") -> str:
         base = os.path.splitext(os.path.basename(image_path))[0]
-        jdir = os.path.join(self.workdir, self.s.job_dir)
-        os.makedirs(jdir, exist_ok=True)
-        script = os.path.join(jdir, base + ".sh")
-        log = os.path.join(jdir, base + ".out")
+        script, log = self._job_paths(base, telescope)
         with open(script, "w") as fh:
             fh.write(sbatch_script(image_path, telescope, base, log,
-                                   self.s, ngaia, extra_args))
+                                   self.s, ngaia, extra_args, imgtype))
         job_id = self._submit(script)
         self.jobs[job_id] = base
         return job_id
+
+    def submit_command(self, cmd: str, job_name: str,
+                       telescope: Optional[str] = None, cpus: int = 1,
+                       runtime: str = "1:00:00") -> str:
+        script, log = self._job_paths(job_name, telescope)
+        with open(script, "w") as fh:
+            fh.write(command_script(cmd, job_name, log, self.s, cpus,
+                                    runtime))
+        job_id = self._submit(script)
+        self.jobs[job_id] = job_name
+        return job_id
+
+    def wait_for(self, job_ids, poll_s: float = 30.0,
+                 timeout_s: Optional[float] = None):
+        t0 = time.time()
+        while any(self._state(j) in self.ACTIVE for j in job_ids):
+            if timeout_s is not None and time.time() - t0 > timeout_s:
+                raise TimeoutError("jobs still active: " + str(job_ids))
+            time.sleep(poll_s)
 
     def n_active(self) -> int:
         return sum(self._state(j) in self.ACTIVE for j in self.jobs)
@@ -118,6 +192,47 @@ class SlurmRunner:
                     f"{self.n_active()} SLURM jobs still active")
             time.sleep(poll_s)
         return {j: self._state(j) for j in self.jobs}
+
+
+def run_night_chain(runner: "SlurmRunner", date: str, telescope: str,
+                    poll_s: float = 30.0,
+                    masters_timeout_s: float = 3600.0) -> list:
+    """End-of-night job chain (reference blackbox_slurm_ilifu.py:289-362,
+    blackbox_slurm_google.py:407-515).
+
+    After the per-frame jobs drain: submit the masters job, wait for it
+    (<= 1 h like the reference), then the header-table jobs per catalog
+    kind and the obslog/night-report job.  Returns the submitted job
+    names in order.
+    """
+    py = runner.s.python
+    submitted = []
+
+    # 1. masters for the evening date (CLI --master_date)
+    jid = runner.submit_command(
+        f"{py} -m blackbox_tpu --telescope {telescope} "
+        f"--master_date {date}",
+        f"masters_{date}", telescope, cpus=4, runtime="1:00:00")
+    submitted.append(f"masters_{date}")
+    runner.wait_for([jid], poll_s=poll_s, timeout_s=masters_timeout_s)
+
+    # 2. header-table accumulation per catalog kind (ilifu loops
+    # cat/trans/sso; bias/flat tables feed the master windows)
+    for kind in ("cat", "trans", "sso", "bias", "flat"):
+        cmd = (f"{py} -c \"from blackbox_tpu.orchestration.headertable "
+               f"import add_night_headkeys; "
+               f"add_night_headkeys('{runner.workdir}', '{telescope}', "
+               f"'{kind}', '{date}')\"")
+        runner.submit_command(cmd, f"add_headkeys_{kind}_{date}",
+                              telescope, cpus=1, runtime="0:30:00")
+        submitted.append(f"add_headkeys_{kind}_{date}")
+
+    # 3. night report (CLI --obslog; email per deployment settings)
+    runner.submit_command(
+        f"{py} -m blackbox_tpu --telescope {telescope} --obslog {date}",
+        f"obslog_{date}", telescope, cpus=1, runtime="0:10:00")
+    submitted.append(f"obslog_{date}")
+    return submitted
 
 
 def collect_job_logs(workdir: str, dest: str,

@@ -26,6 +26,8 @@ TABLE_KEYS = {
             "QC-FLAG", "ISTRACKI"],
     "trans": ["FILENAME", "MJD-OBS", "OBJECT", "FILTER", "T-NTRANS",
               "T-NPOS", "T-NNEG", "Z-FRATIO", "Z-SCSTD", "TQC-FLAG"],
+    "sso": ["FILENAME", "MJD-OBS", "OBJECT", "FILTER", "N-SSO",
+            "TQC-FLAG"],
     "bias": ["FILENAME", "MJD-OBS", "DATE-OBS", "RDNOISE", "BIASMEAN",
              "QC-FLAG"],
     "flat": ["FILENAME", "MJD-OBS", "DATE-OBS", "FILTER", "MEDSEC",
@@ -107,6 +109,48 @@ def add_headkeys(tree: DataTree, telescope: str, kind: str,
     hh["TABKIND"] = (kind, "header-table kind")
     write_image(p, None, Header(), extensions=[("table", cols, hh)])
     return p
+
+
+def add_night_headkeys(root: str, telescope: str, kind: str,
+                       date: str) -> str:
+    """Scan one night's reduced products and append their header keys
+    to the big per-telescope table (the end-of-night add_headkeys jobs,
+    reference blackbox_slurm_ilifu.py:338-362)."""
+    import glob
+
+    from blackbox_tpu.io.fits import read_fits
+
+    tree = DataTree(root, telescope)
+    patterns = {
+        "cat": [("", "*_red_hdr.fits")],
+        "trans": [("", "*_red_trans.fits")],
+        "sso": [("", "*_red_trans.fits")],
+        "bias": [("bias", "*_red.fits*")],
+        "flat": [("flat", "*_red.fits*")],
+    }[kind]
+    headers, names = [], []
+    for sub, pat in patterns:
+        rdir = tree.red_dir(date, sub or "object")
+        for p in sorted(glob.glob(os.path.join(rdir, pat))):
+            try:
+                merged = None
+                for _, h in read_fits(p):
+                    if merged is None or len(h.keys()) > len(merged.keys()):
+                        merged = h
+                if merged is None:
+                    continue
+                if kind == "sso" and "N-SSO" not in merged:
+                    continue
+                headers.append(merged)
+                names.append(os.path.basename(p).replace(
+                    "_red_hdr.fits", "_red.fits").replace(
+                    "_red_trans.fits", "_red.fits").replace(
+                    ".fits.fz", ".fits"))
+            except Exception:
+                continue
+    if headers:
+        add_headkeys(tree, telescope, kind, headers, names)
+    return table_path(tree, telescope, kind)
 
 
 def query(tree: DataTree, telescope: str, kind: str, **cuts) -> list:

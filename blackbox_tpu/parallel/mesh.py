@@ -68,6 +68,48 @@ def sharded_stencil(fn, mesh: Mesh, halo: int, axis_name: str = "tile"):
     return run
 
 
+def lacosmic_sharded(data, inmask, rdnoise, mesh: Mesh, params=None,
+                     halo: int = 32, axis_name: str = "tile"):
+    """L.A.Cosmic over a column-sharded mosaic — the PRODUCTION stencil
+    chain under spatial parallelism, not a toy filter.
+
+    Each shard runs the full dense 3-iteration pipeline on its block
+    plus a ``halo``-column ppermute exchange.  The chain's influence
+    radius is 9 px/iteration (detect 7 + clean 2), so 32 columns cover
+    niter=3 with margin and the result is exactly the single-device
+    dense path (parity asserted in tests/test_parallel.py).
+    """
+    import dataclasses
+
+    from blackbox_tpu.ops.cosmics import LACosmicParams, lacosmic
+
+    p = dataclasses.replace(params or LACosmicParams(), windowed=False,
+                            use_pallas=False)
+    need = 9 * p.niter + 3
+    if halo < need:
+        raise ValueError(f"halo {halo} < influence radius {need}")
+
+    W_total = data.shape[1]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, axis_name), P(None, axis_name)),
+             out_specs=(P(None, axis_name), P(None, axis_name)))
+    def run(block, mblock):
+        pb = halo_exchange_cols(block, halo, axis_name)
+        pm = halo_exchange_cols(mblock.astype(jnp.float32), halo,
+                                axis_name) > 0.5
+        # global column origin of the PADDED block: border restores must
+        # key on frame borders, not shard seams
+        col0 = lax.axis_index(axis_name) * block.shape[1] - halo
+        clean, crm, _ = lacosmic(pb, pm, rdnoise, p,
+                                 coords=(col0, W_total))
+        return clean[:, halo:-halo], crm[:, halo:-halo]
+
+    if inmask is None:
+        inmask = jnp.zeros(data.shape, bool)
+    return run(data, inmask)
+
+
 def median3x3_sharded(img, mesh: Mesh, axis_name: str = "tile"):
     """3x3 median filter over a column-sharded mosaic (halo = 1)."""
 

@@ -29,7 +29,7 @@ log = logging.getLogger("blackbox_tpu")
 from blackbox_tpu.core import maskbits
 from blackbox_tpu.ops.coadd import (
     ClipParams, clipped_coadd, weighted_coadd, coadd_mask, coadd_bkg_std,
-    a_swarp_search)
+    a_swarp_search, saturation_protect)
 from blackbox_tpu.ops.warp import (remap_grid, remap_grid_coarse,
                                    upsample_grid, lanczos_resample,
                                    nearest_resample)
@@ -42,7 +42,9 @@ class BuildRefSettings:
     combine_type: str = "clipped"        # :39
     max_spread_seeing: float = 0.3       # :45
     seeing_max: float = 4.0              # per-filter cap, ″ (:90-92)
-    qc_accept: tuple = ("green", "yellow")
+    # reference default applies NO qc_flag_max cut (buildref.py:107 with
+    # qc_flag_max=None); red frames never publish real catalogs anyway
+    qc_accept: tuple = ("green", "yellow", "orange")
     limmag_target: float = 23.0          # :106
     dmag: float = 0.5
     dlimmag_proj_min: float = 0.002      # marginal-gain cut (:121-126)
@@ -73,6 +75,7 @@ class RefInput:
     gain: float = 1.0
     rdnoise: float = 10.0
     saturate: float = 55000.0
+    fwhm_pix: float = 4.0       # seeing FWHM [pix] (clip protection)
     psf_stamp: Optional[np.ndarray] = None   # (S, S) centre PSF
 
 
@@ -191,7 +194,11 @@ def coadd_field(inputs: Sequence[RefInput], out_wcs, out_shape,
         [float(np.median(np.asarray(inp.bkg_std)[::4, ::4])) * f
          for inp, f in zip(inputs, fscales)], jnp.float32)
     if s.combine_type == "clipped" and N >= s.clip.nmin_clip:
-        co, wsum, nclip = clipped_coadd(stack, w, sigmas, s.clip)
+        radius = int(np.ceil(s.clip.protect_radius_fwhm
+                             * max(inp.fwhm_pix for inp in inputs)))
+        protect = saturation_protect(mask_stack, radius)
+        co, wsum, nclip = clipped_coadd(stack, w, sigmas, s.clip,
+                                        protect=protect)
     else:
         co, wsum = weighted_coadd(stack, w)
         nclip = jnp.zeros(out_shape, jnp.int32)
@@ -251,6 +258,8 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
         [float(np.median(st[::4, ::4])) * f
          for st, f in zip(stds, fscales)], jnp.float32)
     do_clip = s.combine_type == "clipped" and N >= s.clip.nmin_clip
+    protect_radius = int(np.ceil(s.clip.protect_radius_fwhm
+                                 * max(inp.fwhm_pix for inp in inputs)))
 
     @jax.jit
     def combine_block(slab_img, slab_std, slab_msk, csy, csx, Wy, Wx,
@@ -275,7 +284,9 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
         w = jnp.where(discard | (std_b <= 0), 0.0,
                       1.0 / jnp.maximum(std_b, 1e-6) ** 2)
         if do_clip:
-            co, wsum, nclip = clipped_coadd(stack, w, sigmas, s.clip)
+            protect = saturation_protect(mask_b, protect_radius)
+            co, wsum, nclip = clipped_coadd(stack, w, sigmas, s.clip,
+                                            protect=protect)
         else:
             co, wsum = weighted_coadd(stack, w)
             nclip = jnp.zeros(co.shape, jnp.int32)
@@ -380,14 +391,22 @@ def load_ref_input(red_path: str, bkg_boxsize: int = 256) -> RefInput:
     satbad = (mask & (maskbits.SATURATED | maskbits.SAT_CONNECTED)) != 0
     img = fixpix(img, satbad)
 
+    # seeing FWHM in pixels for the clip-protection radius
+    wcs = TanWCS.from_header(h)
+    try:
+        fwhm_pix = float(h.get("S-SEEING")) / max(wcs.pixscale, 1e-9)
+    except (TypeError, ValueError):
+        fwhm_pix = 4.0
+
     return RefInput(
         image=img - bkg, bkg_std=bstd, mask=mask,
-        wcs=TanWCS.from_header(h),
+        wcs=wcs,
         zp=float(h.get("PC-ZP", 25.0)),
         airmass=float(h.get("AIRMASS", 1.0)),
         gain=float(h.get("GAIN", 1.0)),
         rdnoise=float(h.get("RDNOISE", 10.0)),
         saturate=float(h.get("SATURATE", 55000.0)),
+        fwhm_pix=min(max(fwhm_pix, 1.0), 20.0),
         psf_stamp=psf_stamp)
 
 
@@ -488,7 +507,9 @@ def build_reference(tree, telescope: str, field_id: int, filt: str,
     for i, name in enumerate(used[:40]):
         h[f"R-IM{i + 1}"] = (name, "input image")
     wcs_out.to_header(h)
-    flag = run_qc_check(h, telescope, check_key_type="ref")
+    from blackbox_tpu.qc.ranges import QC_RANGES_REF
+    flag = run_qc_check(h, telescope, check_key_type="ref",
+                        ranges_table=QC_RANGES_REF)
 
     get_backend(rdir).make_dir(rdir)
     stamp = f"{telescope}_{field_id:05d}_{filt}_coadd"

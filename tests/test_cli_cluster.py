@@ -86,3 +86,84 @@ def test_cli_single_image(tmp_path):
 def test_cli_requires_target():
     from blackbox_tpu.__main__ import main
     assert main(["--telescope", "ML1"]) == 2
+
+
+def test_partition_selection():
+    from blackbox_tpu.orchestration.cluster import (SlurmSettings,
+                                                    partition_for)
+    s = SlurmSettings(partition_default="deflt", partition_cal="p1gb8",
+                      partition_sci="p4gb16t",
+                      partition_sci_dense="p8gb32t",
+                      partition_sci_vdense="p16gb64t")
+    assert partition_for("bias", None, s) == "p1gb8"
+    assert partition_for("flat", 9e9, s) == "p1gb8"
+    assert partition_for("object", None, s) == "p4gb16t"
+    assert partition_for("object", 3e5, s) == "p8gb32t"
+    assert partition_for("object", 2e6, s) == "p16gb64t"
+    # unset partitions fall back to the default
+    assert partition_for("object", 3e5, SlurmSettings(
+        partition_default="d")) == "d"
+
+
+def test_night_chain_order(tmp_path):
+    # fake night: frame jobs drain, then masters -> (wait) -> headkeys
+    # -> obslog, submitted in order with per-telescope job trees
+    from blackbox_tpu.orchestration.cluster import (SlurmRunner,
+                                                    SlurmSettings,
+                                                    run_night_chain)
+    submitted = []
+    states = {}
+
+    def fake_submit(script):
+        jid = f"j{len(submitted)}"
+        with open(script) as fh:
+            submitted.append((jid, script, fh.read()))
+        states[jid] = "COMPLETED"
+        return jid
+
+    r = SlurmRunner(str(tmp_path), SlurmSettings(reservation="night"),
+                    submit_fn=fake_submit,
+                    state_fn=lambda j: states.get(j, "COMPLETED"))
+    r.submit_image(str(tmp_path / "ML1_x.fits"), "ML1", ngaia=3e5,
+                   imgtype="object")
+    r.wait_all(poll_s=0.01)
+    names = run_night_chain(r, "20260401", "ML1", poll_s=0.01)
+    assert names[0] == "masters_20260401"
+    assert names[-1] == "obslog_20260401"
+    assert [n for n in names if n.startswith("add_headkeys")] == [
+        f"add_headkeys_{k}_20260401"
+        for k in ("cat", "trans", "sso", "bias", "flat")]
+    # scripts land in the per-telescope tree and carry the reservation
+    assert all("/ML1/" in s[1] for s in submitted)
+    assert all("--reservation=night" in s[2] for s in submitted)
+    # chain order: masters submitted before every headkeys job
+    order = [s[1] for s in submitted]
+    assert order.index(str(tmp_path / "jobs/ML1/masters_20260401.sh")) \
+        < order.index(
+            str(tmp_path / "jobs/ML1/add_headkeys_cat_20260401.sh"))
+
+
+def test_add_night_headkeys(tmp_path, rng):
+    import numpy as np
+    from blackbox_tpu.core.geometry import TINY
+    from blackbox_tpu.io.fits import Header, write_image
+    from blackbox_tpu.io.rice import write_rice
+    from blackbox_tpu.orchestration.headertable import (
+        add_night_headkeys, query)
+    from blackbox_tpu.orchestration.paths import DataTree
+    tree = DataTree(str(tmp_path), "ML1")
+    date = "20260401"
+    rdir = tree.red_dir(date, "flat")
+    import os
+    os.makedirs(rdir, exist_ok=True)
+    h = Header()
+    h["MJD-OBS"] = 61131.2; h["DATE-OBS"] = "2026-04-01T04:48:00"
+    h["FILTER"] = "q"; h["MEDSEC"] = 30000.0; h["RSTDSEC"] = 0.01
+    h["QC-FLAG"] = "green"
+    H, W = TINY.red_shape
+    write_rice(os.path.join(rdir, "ML1_f0_red.fits.fz"),
+               rng.normal(3e4, 50, (H, W)).astype(np.float32), h)
+    add_night_headkeys(str(tmp_path), "ML1", "flat", date)
+    rows = query(tree, "ML1", "flat", FILTER="q")
+    assert len(rows) == 1
+    assert abs(float(rows[0]["MEDSEC"]) - 30000.0) < 1e-3

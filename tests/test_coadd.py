@@ -108,8 +108,9 @@ def test_select_images_depth_logic():
     lims = [r["LIMMAG"] for r in sel]
     assert lims == sorted(lims, reverse=True)
     assert info["limmag_proj"] > max(lims)      # co-add deeper than best
-    # red/orange rows never selected
-    assert all(r["QC-FLAG"] == "green" for r in sel)
+    # red rows never selected (reference default applies no
+    # qc_flag_max cut; red frames carry no usable catalogs)
+    assert all(r["QC-FLAG"] != "red" for r in sel)
 
 
 def test_select_images_tracking_cut():
@@ -211,3 +212,49 @@ def test_blocked_coadd_matches_resident(rng):
                        atol=1e-5)
     assert np.array_equal(blk["mask"], np.asarray(res["mask"]))
     assert abs(blk["zp"] - res["zp"]) < 1e-9
+
+
+def test_clip_protection_per_star(rng):
+    # varying-seeing stack: EVERY saturated star's core must stay
+    # unclipped while a cosmic in the same stack is clipped
+    # (reference pass_filters protects <=5xFWHM, buildref.py:3702-3870)
+    from blackbox_tpu.ops.coadd import (ClipParams, clipped_coadd,
+                                        saturation_protect)
+    from blackbox_tpu.core import maskbits as mb
+    H = W = 96
+    N = 6
+    # two bright stars of different peaks at (30,30) and (70,64)
+    stars_pos = [(30, 30), (70, 64)]
+    stack = []
+    for i in range(N):
+        fwhm = 2.0 + 0.6 * i                 # strongly varying seeing
+        img = star_image((H, W), [[x, y, 5e4 * (1 + (x == 30)), fwhm]
+                                  for (y, x) in stars_pos])
+        img += rng.normal(0, 5.0, (H, W))
+        stack.append(img.astype(np.float32))
+    stack = jnp.asarray(np.stack(stack))
+    # cosmic hit in image 2 away from the stars
+    stack = stack.at[2, 10, 80].add(5000.0)
+    w = jnp.ones((N, H, W), jnp.float32)
+    sig = jnp.full((N,), 5.0, jnp.float32)
+
+    masks = np.zeros((N, H, W), np.uint8)
+    for (y, x) in stars_pos:
+        masks[:, y, x] = mb.SATURATED
+    protect = saturation_protect(jnp.asarray(masks), radius_pix=15)
+    p = ClipParams(A=0.3, nsigma=2.5, nmin_clip=3)
+    co, wsum, nclip = clipped_coadd(stack, w, sig, p, protect=protect)
+    nclip = np.asarray(nclip)
+    # the cosmic is clipped
+    assert nclip[10, 80] >= 1
+    # NO clipping within the protection radius of either star
+    yy, xx = np.mgrid[:H, :W]
+    for (y, x) in stars_pos:
+        near = (np.abs(yy - y) <= 15) & (np.abs(xx - x) <= 15)
+        assert nclip[near].sum() == 0, (y, x)
+    # without protection, the varying-seeing star cores DO get clipped
+    # (the failure mode the protection exists to prevent)
+    _, _, nclip0 = clipped_coadd(stack, w, sig, p, protect=None)
+    nclip0 = np.asarray(nclip0)
+    assert sum(nclip0[(np.abs(yy - y) <= 8) & (np.abs(xx - x) <= 8)].sum()
+               for (y, x) in stars_pos) > 0

@@ -51,3 +51,49 @@ def test_train_and_segment(tmp_path, rng):
     params2 = load_params(p, tile=64)
     m2, _ = segment_trails(params2, jnp.asarray(img), cfg)
     np.testing.assert_array_equal(np.asarray(m2), mask)
+
+
+def test_keras_weight_conversion_roundtrip(tmp_path):
+    """Export TrailUNet params in the keras HDF5 layout and convert
+    back: the ported params must reproduce the network bit for bit
+    (validates layer ordering, shape checks, and the Conv2DTranspose
+    channel swap)."""
+    import h5py
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from flax import traverse_util
+    from blackbox_tpu.models.trailnet import (TrailUNet,
+                                              convert_keras_weights,
+                                              init_params, _layer_order)
+
+    params = init_params(jax.random.PRNGKey(3), tile=64)
+    flat = traverse_util.flatten_dict(params["params"])
+    kernels = sorted([kp for kp in flat if kp[-1] == "kernel"],
+                     key=_layer_order)
+
+    h5p = str(tmp_path / "asta.h5")
+    with h5py.File(h5p, "w") as f:
+        root = f.create_group("model_weights")
+        names = []
+        for i, kp in enumerate(kernels):
+            is_tr = any(p.startswith("ConvTranspose") for p in kp)
+            name = f"conv2d_transpose_{i}" if is_tr else f"conv2d_{i}"
+            names.append(name.encode())
+            g = root.create_group(name).create_group(name)
+            kern = np.asarray(flat[kp])
+            if is_tr:
+                # keras stores transpose kernels as (kh, kw, out, in)
+                kern = np.swapaxes(kern, -1, -2)
+            g.create_dataset("kernel:0", data=kern)
+            g.create_dataset("bias:0",
+                             data=np.asarray(flat[kp[:-1] + ("bias",)]))
+        root.attrs["layer_names"] = names
+
+    ported = convert_keras_weights(h5p, tile=64)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (1, 64, 64, 1)).astype(np.float32))
+    model = TrailUNet()
+    np.testing.assert_array_equal(
+        np.asarray(model.apply(params, x)),
+        np.asarray(model.apply(ported, x)))
