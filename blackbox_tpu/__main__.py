@@ -73,9 +73,13 @@ def main(argv=None) -> int:
     from blackbox_tpu.pipeline.driver import Pipeline
 
     from blackbox_tpu.core.geometry import MEERLICHT, TINY
-    tree = DataTree(args.data_root, args.telescope)
     settings = ReductionSettings(
         geometry=TINY if args.geometry == "tiny" else MEERLICHT)
+    # --data_root beats the configured run_dir (reference proc_env
+    # directory trees, set_blackbox.py:89-153)
+    root = args.data_root if args.data_root != "." \
+        else (settings.run_dir or ".")
+    tree = DataTree(root, args.telescope)
     settings.img_reduce = args.img_reduce
     settings.cat_extract = args.cat_extract
     settings.trans_extract = args.trans_extract

@@ -25,8 +25,14 @@ class DetectParams:
     npix_min: int = 3
     max_sources: int = 20000
     fwhm_filter: float = 3.0     # matched-filter FWHM [pix]
-    label_iters: int = 48
-    moment_window: int = 48      # per-source moment window [pix]
+    # labeling iterations bound the geodesic diameter that merges into
+    # one segment; 32 covers stars and typical saturated halos at
+    # 6.1 ms/iteration on a 10.5k^2 frame — larger blobs (extreme
+    # bloom) split into a few segments, like SExtractor deblending
+    label_iters: int = 32
+    # moment window: +-16 px covers any stellar segment; the cost of
+    # segment_catalog scales with max_sources * window^2
+    moment_window: int = 32
 
 
 def gaussian_kernel1d(fwhm: float, radius: int | None = None):

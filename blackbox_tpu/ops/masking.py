@@ -25,7 +25,7 @@ from blackbox_tpu.ops.morphology import binary_dilation, binary_closing, fill_ho
 
 
 def build_mask(chan_data, bpm, satlevel_adu, gains, biasm, nx: int = 8,
-               fill_iters: int = 3):
+               fill_iters: int = 1):
     """Build the initial uint8 mask stack and clean the data stack.
 
     chan_data   : (C, ych, xch) calibrated data [e-]

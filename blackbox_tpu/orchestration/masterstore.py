@@ -34,6 +34,9 @@ class MasterPolicy:
     # reject evening flats (reference blackbox.py:4776-4789: BlackGEM
     # evening flats carry a reflection; UT-fraction heuristic)
     flat_reject_eve: bool = False
+    # build masters on demand (reference create_master switch); False =
+    # lookup-only (the cluster's dedicated masters job builds them)
+    create: bool = True
 
 
 def _date_shift(date: str, days: int) -> str:
@@ -164,7 +167,8 @@ class MasterStore:
             self._stamp_provenance(header, found)
             return data, header
 
-        files = self.individual_cals(imgtype, date, filt)
+        files = (self.individual_cals(imgtype, date, filt)
+                 if self.policy.create else [])
         if len(files) >= self.policy.ncal_min:
             # single-writer publication: the reference documents an
             # unresolved cross-job race here (blackbox.py:4741-4755);

@@ -219,16 +219,26 @@ def create_masters(pipeline, date: str, imgtypes=("bias", "flat"),
                    filters=("q",)) -> dict:
     """Bulk master creation for a date (reference create_masters,
     blackbox.py:617-782): every master is built from the already-reduced
-    individual calibration frames in the red tree."""
-    out = {}
+    individual calibration frames in the red tree.  ``settings.nproc``
+    workers overlap the host-side FITS IO of independent masters (the
+    reference pools master_prep over nproc processes, blackbox.py:774).
+    """
+    jobs = []
     for imgtype in imgtypes:
         if imgtype == "flat":
-            for f in filters:
-                data, h = pipeline.masters.ensure_master(
-                    imgtype, date, pipeline.geom, filt=f)
-                out[(imgtype, f)] = h if data is not None else None
+            jobs += [(imgtype, f) for f in filters]
         else:
-            data, h = pipeline.masters.ensure_master(
-                imgtype, date, pipeline.geom)
-            out[(imgtype, None)] = h if data is not None else None
-    return out
+            jobs.append((imgtype, None))
+
+    def build(key):
+        imgtype, f = key
+        data, h = pipeline.masters.ensure_master(
+            imgtype, date, pipeline.geom, filt=f)
+        return key, (h if data is not None else None)
+
+    nproc = int(getattr(pipeline.settings, "nproc", 1) or 1)
+    if nproc > 1 and len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nproc) as ex:
+            return dict(ex.map(build, jobs))
+    return dict(build(j) for j in jobs)

@@ -92,7 +92,9 @@ class Pipeline:
             cal_window=dict(self.settings.cal_window),
             ncal_max=dict(self.settings.ncal_max),
             flat_reject_eve=bool(get_par(self.settings.flat_reject_eve,
-                                         telescope))))
+                                         telescope)),
+            create=bool(get_par(self.settings.create_master,
+                                telescope))))
         self.ref_catalog = ref_catalog
         self.ext_coeff = ext_coeff
         self.subtract_refs = subtract_refs
@@ -135,7 +137,7 @@ class Pipeline:
         elif getattr(self.settings, "xtalk_file", None):
             from blackbox_tpu.ops.xtalk import load_coeff_file
             self.xtalk = load_coeff_file(
-                self.settings.xtalk_file,
+                self._cal_path(self.settings.xtalk_file),
                 self.geom.n_chan).astype(np.float32)
         else:
             self.xtalk = None
@@ -147,8 +149,8 @@ class Pipeline:
         if self.ctx.correct_nonlin and \
                 getattr(self.settings, "nonlin_corr_file", None):
             try:
-                self.nonlin_coeffs = np.load(
-                    self.settings.nonlin_corr_file).astype(np.float32)
+                self.nonlin_coeffs = np.load(self._cal_path(
+                    self.settings.nonlin_corr_file)).astype(np.float32)
             except Exception:
                 log.exception("could not load non-linearity coefficients "
                               "from %s", self.settings.nonlin_corr_file)
@@ -173,6 +175,14 @@ class Pipeline:
                 ctx_, c, v, h, None, None, None, None))
         self._extract = jax.jit(lambda s, m: extract_catalog(ctx_, s, m))
 
+    def _cal_path(self, p: str) -> str:
+        """Resolve a calibration-file path against cal_dir when
+        relative (reference MLBG_CALDIR layout)."""
+        cal_dir = getattr(self.settings, "cal_dir", None)
+        if cal_dir and not os.path.isabs(str(p)) and "://" not in str(p):
+            return os.path.join(str(cal_dir), str(p))
+        return str(p)
+
     def _load_bpm(self, filt: str):
         """(C, ych, xch) uint8 static bad-pixel mask for a filter, or
         None.  ``bad_pixel_mask`` may be one path or a per-filter dict."""
@@ -182,6 +192,7 @@ class Pipeline:
         path = spec.get(filt) if isinstance(spec, dict) else spec
         if not path:
             return None
+        path = self._cal_path(path)
         if path not in self._bpm_cache:
             try:
                 hdus = read_fits(path)
@@ -645,6 +656,42 @@ class Pipeline:
                      "recalibrating from raw", base)
             return None
 
+    def _adopt_as_reference(self, h, sci, ext, mask, rdir, base,
+                            field_id: int, filt: str) -> list:
+        """Publish this frame's products as the field reference
+        (create_ref semantics: background-subtracted image + mask +
+        PSF + catalog + STD map under ref/<field>/)."""
+        import jax.numpy as jnp
+
+        refdir = self.tree.ref_dir(field_id)
+        get_backend(refdir).make_dir(refdir)
+        date = night_date(float(h["MJD-OBS"]), self.site[1])
+        stem = f"{self.telescope}_{field_id}_{filt}_{date}"
+        sub = np.asarray(sci - ext["bkg"], np.float32)
+        products = []
+        p_img = os.path.join(refdir, stem + "_red.fits.fz")
+        write_rice(p_img, sub, h, qlevel=16.0)
+        write_rice(os.path.join(refdir, stem + "_mask.fits.fz"),
+                   np.asarray(mask, np.uint8), h, qlevel=16.0)
+        write_rice(os.path.join(refdir, stem + "_bkgstd.fits.fz"),
+                   np.asarray(ext["bkg_std"], np.float32), h, qlevel=4.0)
+        if "psf" in ext:
+            write_psf(os.path.join(refdir, stem + "_psf.fits"),
+                      ext["psf"], h)
+        cat_src = os.path.join(rdir, base + "_red_cat.fits")
+        try:
+            be = get_backend(cat_src)
+            be.write_bytes(os.path.join(refdir, stem + "_red_cat.fits"),
+                           be.read_bytes(cat_src))
+        except Exception:
+            log.exception("could not copy catalog for adopted ref %s",
+                          stem)
+        h["REF-NEW"] = (True, "frame adopted as field reference")
+        log.info("adopted %s as reference for field %d/%s", base,
+                 field_id, filt)
+        products.append(p_img)
+        return products
+
     # ------------------------------------------------------ quicklooks
 
     def _quicklook(self, product_path: str, img, h, products: list):
@@ -686,6 +733,11 @@ class Pipeline:
         filt = str(h["FILTER"]).strip()
         ref_img_path = self._find_ref(field_id, filt)
         if ref_img_path is None:
+            if bool(get_par(self.settings.create_ref, self.telescope)):
+                # no reference yet: this image becomes the field's
+                # reference (reference blackbox.py:2330-2345 create_ref)
+                return self._adopt_as_reference(h, sci, ext, mask, rdir,
+                                                base, field_id, filt)
             return []
         ref_base = base_name(ref_img_path)[:-len("_red")]
         rd = os.path.dirname(ref_img_path)

@@ -305,6 +305,15 @@ def stamp_extraction(h: Header, stats: dict, pixscale: float) -> Header:
                      "[arcsec] seeing (median FWHM)")
     h["S-SEEPIX"] = (round(float(stats["s_seeing_pix"]), 3),
                      "[pix] seeing (median FWHM)")
+    if "s_seestd_pix" in stats:
+        h["S-SEESTD"] = (round(float(stats["s_seestd_pix"])
+                               * pixscale, 3), "[arcsec] seeing STD")
+    if "s_elong" in stats:
+        h["S-ELONG"] = (round(float(stats["s_elong"]), 4),
+                        "median elongation (A/B)")
+    if "s_elostd" in stats:
+        h["S-ELOSTD"] = (round(float(stats["s_elostd"]), 4),
+                         "elongation STD")
     h["S-BKG"] = (round(float(stats["bkg_median"]), 2),
                   "[e-] median background")
     h["S-BKGSTD"] = (round(float(stats["bkg_std"]), 2),

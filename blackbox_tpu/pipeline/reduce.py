@@ -91,6 +91,12 @@ class ReduceContext:
                                     npix_min=s.det_npix_min,
                                     max_sources=s.max_sources),
             sat_params=SatDetParams(bin_factor=s.sat_bin),
+            # vignette size caps at the design stamp: beyond ~25 px a
+            # MeerLICHT PSF carries no signal, and the eigen-PSF LSQ
+            # cost grows with the stamp area (set_zogy size_vignet is
+            # the PSFEx extraction vignette)
+            psf_params=PSFParams(
+                size=min(s.size_vignet, 25) | 1),
             bkg_boxsize=min(s.bkg_boxsize, geom.red_shape[0] // 4),
             bkg_filtersize=s.bkg_filtersize,
             bkg_nsigma=s.bkg_nsigma,
@@ -158,7 +164,10 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
     # component count only for hole-free masks (otherwise NCOSMICS can
     # even go negative)
     from blackbox_tpu.ops.morphology import fill_holes
-    stats["ncosmics"] = euler_count(fill_holes(crmask))
+    # one sweep round: cosmic hits are a few px across, any hole in
+    # them resolves in a single monotone flood (each extra round costs
+    # ~55 ms at 10.5k^2)
+    stats["ncosmics"] = euler_count(fill_holes(crmask, iterations=1))
 
     clean, mask_m = jax.lax.optimization_barrier((clean, mask_m))
 
@@ -234,9 +243,23 @@ def extract_catalog(ctx: ReduceContext, sci, mask_m):
     # clean bright sources, background level/STD medians
     good = cat["valid"] & (cat["snr"] > 20) & (cat["elong"] < 1.5)
     fwhm_med = masked_median(cat["fwhm"], ~good, axis=0)
+    ngood = jnp.maximum(jnp.sum(good), 1)
+    fmean = jnp.sum(jnp.where(good, cat["fwhm"], 0.0)) / ngood
+    fwhm_std = jnp.sqrt(jnp.sum(jnp.where(
+        good, (cat["fwhm"] - fmean) ** 2, 0.0)) / ngood)
+    # elongation stats over clean detections (S-ELONG/S-ELOSTD)
+    egood = cat["valid"] & (cat["snr"] > 20)
+    elong_med = masked_median(cat["elong"], ~egood, axis=0)
+    neg = jnp.maximum(jnp.sum(egood), 1)
+    emean = jnp.sum(jnp.where(egood, cat["elong"], 0.0)) / neg
+    elong_std = jnp.sqrt(jnp.sum(jnp.where(
+        egood, (cat["elong"] - emean) ** 2, 0.0)) / neg)
     stats = {
         "nobjects": jnp.sum(cat["valid"]),
         "s_seeing_pix": jnp.nan_to_num(fwhm_med, nan=ctx.fwhm_guess),
+        "s_seestd_pix": jnp.nan_to_num(fwhm_std),
+        "s_elong": jnp.nan_to_num(elong_med, nan=1.0),
+        "s_elostd": jnp.nan_to_num(elong_std),
         "bkg_median": jnp.median(mesh),
         "bkg_std": jnp.median(stdm),
     }

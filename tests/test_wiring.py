@@ -254,3 +254,81 @@ def test_granular_resume_reuses_published_red(tmp_path, rng):
     # is_dumcat semantics) — but always through the reuse path
     r3 = pipe.process_file(p, trans_extract=False)
     assert r3.header.get("RED-REUSED") is True
+
+
+def test_create_master_gate(tmp_path, rng):
+    # create_master=False: the store is lookup-only and must NOT build
+    from blackbox_tpu.io.rice import write_rice
+    from blackbox_tpu.orchestration.masterstore import (MasterPolicy,
+                                                        MasterStore)
+    tree = DataTree(str(tmp_path), "ML1")
+    rdir = tree.red_dir("20260401", "bias")
+    os.makedirs(rdir, exist_ok=True)
+    H, W = TINY.red_shape
+    for i in range(4):
+        h = Header(); h["IMAGETYP"] = "bias"; h["QC-FLAG"] = "green"
+        h["MJD-OBS"] = 61131.2 + i * 1e-3
+        write_rice(os.path.join(rdir, f"ML1_b{i}_red.fits.fz"),
+                   rng.normal(0, 5, (H, W)).astype(np.float32), h)
+    off = MasterStore(tree, "ML1", MasterPolicy(create=False))
+    data, _ = off.ensure_master("bias", "20260401", TINY)
+    assert data is None
+    on = MasterStore(tree, "ML1", MasterPolicy(create=True))
+    data, _ = on.ensure_master("bias", "20260401", TINY)
+    assert data is not None
+
+
+def test_create_ref_adopts_frame(tmp_path, rng):
+    # no reference for the field + create_ref=True: the first green
+    # frame becomes the field reference (blackbox.py:2330-2345), and
+    # the next frame runs transient extraction against it
+    from blackbox_tpu.synth.observation import night_of_observations
+    from tests.test_driver import (PIXSCALE as REAL_PIXSCALE, RA0, DEC0,
+                                   _ref_catalog_from_truth)
+    s = ReductionSettings(geometry=TINY, pixscale=REAL_PIXSCALE,
+                          create_ref=True)
+    files, truths, tree = night_of_observations(
+        str(tmp_path), TINY, rng, date="20260401", nbias=3, nflat=3,
+        nsci=2, nstars=45, ncosmics=2, trail=False, nsat=0,
+        sky_e=300.0, ra_deg=RA0, dec_deg=DEC0)
+
+    class T:
+        stars = np.concatenate([t.stars for t in truths[-2:]])
+    pipe = Pipeline(tree, "ML1", s, _ctx(s),
+                    ref_catalog=_ref_catalog_from_truth(T))
+    results = [pipe.process_file(f) for f in files]
+    sci = [r for r in results
+           if str(r.header.get("IMAGETYP")) == "object"]
+    assert all(r.status == "reduced" for r in sci)
+    assert sci[0].header.get("REF-NEW") is True
+    import glob
+    refs = glob.glob(str(tmp_path) + "/**/ref/**/*_red.fits.fz",
+                     recursive=True)
+    assert refs
+    # second frame subtracts against the adopted reference
+    assert "T-NTRANS" in sci[1].header or \
+        sci[1].header.get("TQC-FLAG") is not None
+
+
+def test_cal_dir_resolves_relative_paths(tmp_path, rng):
+    H, W = TINY.red_shape
+    bpm = np.zeros((H, W), np.uint8)
+    bpm[7, 9] = maskbits.BAD
+    caldir = tmp_path / "CalFiles"
+    os.makedirs(caldir, exist_ok=True)
+    write_image(str(caldir / "bpm_q.fits"), bpm, Header())
+    s = ReductionSettings(geometry=TINY, pixscale=PIXSCALE,
+                          cal_dir=str(caldir),
+                          bad_pixel_mask={"q": "bpm_q.fits"})
+    pipe, p, tree = _one_science(tmp_path, rng, settings=s)
+    b = pipe._load_bpm("q")
+    assert b is not None and b.sum() == maskbits.BAD
+
+
+def test_size_vignet_plumbed():
+    s = ReductionSettings(geometry=TINY, size_vignet=15)
+    ctx = ReduceContext.from_settings(s, "ML1")
+    assert ctx.psf_params.size == 15
+    # capped at the design stamp (and kept odd)
+    s2 = ReductionSettings(geometry=TINY, size_vignet=99)
+    assert ReduceContext.from_settings(s2, "ML1").psf_params.size == 25
