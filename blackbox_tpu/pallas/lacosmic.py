@@ -13,13 +13,15 @@ Semantics match ``ops.cosmics.lacosmic`` exactly (same networks, same
 thresholds); the parity test runs this kernel in interpreter mode
 against the jnp path.
 
-STATUS: experimental on real hardware. The fully unrolled sorting
-networks (25/49 comparators on wide tiles) push the current Mosaic
-toolchain's compile time past 30 minutes at 10.5k² regardless of tile
-shape, so the production pipeline defaults to the jnp strip path
-(1.1 s/frame after its own optimisation); revisit when Mosaic handles
-long unrolled elementwise chains better, or restructure the medians as
-rank filters with fori_loop compare rounds.
+STATUS: experimental on real hardware, and SUPERSEDED in practice.
+The fully unrolled sorting networks (25/49 comparators on wide tiles)
+push the current Mosaic toolchain's compile time past 30 minutes at
+10.5k² regardless of tile shape.  Meanwhile the jnp strip path gained
+shared sorted-column median networks (3-5x fewer min/max ops/px) and
+exact windowed iterations (ops/cosmics.py, round 2), measuring
+~0.2-0.3 s/frame — the HBM round-trips this kernel was written to
+remove are no longer the bottleneck (the stage is ALU-bound).  Kept as
+the VMEM-tiling reference for a future Mosaic revisit.
 """
 
 from __future__ import annotations

@@ -355,7 +355,8 @@ class Pipeline:
                 stats = dict(device_override["stats"])
             else:
                 sci, mask, stats = cal_fn(*args, mbias, mflat, bpm)
-            if self.trailnet_params is not None and imgtype == "object":
+            if self.trailnet_params is not None and imgtype == "object" \
+                    and getattr(self.settings, "use_unet_sat", True):
                 from blackbox_tpu.core import maskbits
                 from blackbox_tpu.models.trailnet import segment_trails
                 import jax.numpy as jnp
