@@ -163,7 +163,8 @@ def segment_catalog(image_bksub, bkg_std, seg, n_sources,
     ks = jnp.arange(1, p.max_sources + 1, dtype=jnp.int32)
 
     win = min(p.moment_window, H, W)
-    out = _window_moments(image_bksub, seg, rootval, ry, rx, win)
+    out = _window_moments(image_bksub, seg, rootval, ry, rx, win,
+                          n_active=n_sources)
     (xc, yc, flux, npix, peak, x2, y2, xy, trunc) = out
 
     # tier 2: segments that hit the small window's border get redone in
@@ -176,7 +177,8 @@ def segment_catalog(image_bksub, bkg_std, seg, n_sources,
                          0, p.max_sources - 1)
         ok = kb <= cnt[-1]
         outb = _window_moments(image_bksub, seg, rootval[slots],
-                               ry[slots], rx[slots], win_big)
+                               ry[slots], rx[slots], win_big,
+                               n_active=cnt[-1])
 
         def put(a, b):
             return a.at[slots].set(jnp.where(ok, b, a[slots]))
@@ -197,9 +199,12 @@ def segment_catalog(image_bksub, bkg_std, seg, n_sources,
     }
 
 
-def _window_moments(image_bksub, seg, rootval, ry, rx, win: int):
-    """Windowed per-segment moments (vmapped dynamic slices); the last
-    return is the window-truncation flag (segment touches the border)."""
+def _window_moments(image_bksub, seg, rootval, ry, rx, win: int,
+                    n_active=None):
+    """Windowed per-segment moments (vmapped dynamic slices, chunked
+    with early exit past ``n_active`` slots); the last return is the
+    window-truncation flag (segment touches the border)."""
+    from blackbox_tpu.ops.windows import chunked_slot_map
     H, W = seg.shape
     # the root is a segment's topmost-then-leftmost pixel: bias the
     # window down so the blob (which extends downward) stays inside
@@ -235,7 +240,7 @@ def _window_moments(image_bksub, seg, rootval, ry, rx, win: int):
         return (xc, yc, flux, npix, jnp.where(npix > 0, peak, 0.0),
                 x2, y2, xy, border & (npix > 0))
 
-    return jax.vmap(one)(rootval, y0, x0)
+    return chunked_slot_map(one, (rootval, y0, x0), n_active=n_active)
 
 
 def moments_shape(cat):

@@ -37,19 +37,33 @@ def euler_count(mask) -> jnp.ndarray:
     return (q1 - q3 - 2 * qd) // 4
 
 
-def label_components(mask, iters: int = 64):
+def label_components(mask, iters: int = 64, use_pallas: bool | None = None):
     """Iterative 8-connected labeling by min-label propagation.
 
     Returns int32 labels (0 = background, >0 = component id given by the
     flattened index of the component's minimum pixel + 1).  ``iters`` bounds
     the geodesic radius that can merge; pick it larger than the expected
     blob diameter.
+
+    On TPU the propagation runs as one fused Pallas kernel
+    (:mod:`blackbox_tpu.pallas.labelprop`): all ``iters`` iterations
+    execute on a VMEM tile with an ``iters``-pixel halo, one HBM
+    read + write instead of ``2*iters`` full-frame pool passes
+    (measured 6.1 ms/iteration -> ~1 pass at 10.5k²).
     """
     H, W = mask.shape
     idx = (jnp.arange(H * W, dtype=jnp.int32).reshape(H, W) + 1)
     big = jnp.int32(H * W + 2)
     imax = jnp.iinfo(jnp.int32).max
     lab = jnp.where(mask, idx, big)
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and iters <= 64 and H >= 512 and W >= 512)
+    if use_pallas:
+        from blackbox_tpu.pallas.labelprop import label_propagate_pallas
+        lab = label_propagate_pallas(lab, iters=iters)
+        return jnp.where(mask, lab, 0)
 
     def body(_, lab):
         # separable 3x3 min pool (rows then columns).  Measured at

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 
 def aperture_photometry(image_bksub, bkg_std, xs, ys, radii,
-                        window: int = 32):
+                        window: int = 32, n_active=None):
     """Sum fluxes in circular apertures.
 
     image_bksub : (H, W) background-subtracted image [e-]
@@ -22,9 +22,12 @@ def aperture_photometry(image_bksub, bkg_std, xs, ys, radii,
     xs, ys      : (N,) centroids (0-based pixel coords)
     radii       : sequence of aperture radii [pix] (static length R)
     window      : static cutout size (>= 2*max(radii)+2)
+    n_active    : traced count of live catalog slots; slots past it are
+        skipped in chunks (zero flux) — see ops.windows
 
     Returns (flux (N, R), fluxerr (N, R)).
     """
+    from blackbox_tpu.ops.windows import chunked_slot_map
     H, W = image_bksub.shape
     half = window // 2
     radii = jnp.asarray(radii, jnp.float32)               # (R,)
@@ -48,7 +51,7 @@ def aperture_photometry(image_bksub, bkg_std, xs, ys, radii,
         err2 = jnp.sum(covg * var[None], axis=(1, 2)) + jnp.maximum(flux, 0.0)
         return flux, jnp.sqrt(err2)
 
-    return jax.vmap(one)(x0, y0, xs, ys)
+    return chunked_slot_map(one, (x0, y0, xs, ys), n_active=n_active)
 
 
 def snr_optimal(flux, fluxerr):

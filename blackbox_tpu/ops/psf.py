@@ -90,58 +90,68 @@ def n_basis(poldeg: int) -> int:
     return (poldeg + 1) * (poldeg + 2) // 2
 
 
-def extract_vignettes(image, xs, ys, size: int):
-    """Centred cutouts with integer-pixel placement.
-
-    Returns (vignettes (N, size, size), dx, dy) where dx/dy are the
-    sub-pixel offsets of the true centre from the stamp centre pixel.
-    """
-    H, W = image.shape
+def _vignette_grid(image_shape, xs, ys, size: int):
+    """Integer stamp origins + sub-pixel offsets for centred cutouts."""
+    H, W = image_shape
     half = size // 2
     xi = jnp.round(xs).astype(jnp.int32)
     yi = jnp.round(ys).astype(jnp.int32)
     x0 = jnp.clip(xi - half, 0, W - size)
     y0 = jnp.clip(yi - half, 0, H - size)
+    dx = xs - (x0.astype(jnp.float32) + half)
+    dy = ys - (y0.astype(jnp.float32) + half)
+    return y0, x0, dx, dy
+
+
+def _recenter_one(v, dxi, dyi):
+    """Shift ONE vignette by (-dx, -dy) with bilinear interpolation so
+    the star centroid lands on the central pixel."""
+    S = v.shape[-1]
+    g = jnp.arange(S, dtype=jnp.float32)
+    ys = g + dyi
+    xs = g + dxi
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, S - 2)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, S - 2)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)
+    fx = jnp.clip(xs - x0, 0.0, 1.0)
+    v00 = v[y0][:, x0]
+    v01 = v[y0][:, x0 + 1]
+    v10 = v[y0 + 1][:, x0]
+    v11 = v[y0 + 1][:, x0 + 1]
+    return ((1 - fy)[:, None] * ((1 - fx) * v00 + fx * v01)
+            + fy[:, None] * ((1 - fx) * v10 + fx * v11))
+
+
+def extract_vignettes(image, xs, ys, size: int, n_active=None):
+    """Centred cutouts with integer-pixel placement.
+
+    Returns (vignettes (N, size, size), dx, dy) where dx/dy are the
+    sub-pixel offsets of the true centre from the stamp centre pixel.
+    Slots past ``n_active`` are skipped in chunks (ops.windows).
+    """
+    from blackbox_tpu.ops.windows import chunked_slot_map
+    y0, x0, dx, dy = _vignette_grid(image.shape, xs, ys, size)
 
     def one(y0i, x0i):
         return jax.lax.dynamic_slice(image, (y0i, x0i), (size, size))
 
-    vig = jax.vmap(one)(y0, x0)
-    cx = x0.astype(jnp.float32) + half
-    cy = y0.astype(jnp.float32) + half
-    return vig, xs - cx, ys - cy
+    vig = chunked_slot_map(one, (y0, x0), n_active=n_active)
+    return vig, dx, dy
 
 
 def _recenter(vig, dx, dy):
-    """Shift each vignette by (-dx, -dy) with bilinear interpolation so the
-    star centroid lands on the central pixel (PSF built in the star frame)."""
-    N, S, _ = vig.shape
-    g = jnp.arange(S, dtype=jnp.float32)
-
-    def one(v, dxi, dyi):
-        ys = g + dyi
-        xs = g + dxi
-        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, S - 2)
-        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, S - 2)
-        fy = jnp.clip(ys - y0, 0.0, 1.0)
-        fx = jnp.clip(xs - x0, 0.0, 1.0)
-        v00 = v[y0][:, x0]
-        v01 = v[y0][:, x0 + 1]
-        v10 = v[y0 + 1][:, x0]
-        v11 = v[y0 + 1][:, x0 + 1]
-        return ((1 - fy)[:, None] * ((1 - fx) * v00 + fx * v01)
-                + fy[:, None] * ((1 - fx) * v10 + fx * v11))
-
-    return jax.vmap(one)(vig, dx, dy)
+    return jax.vmap(_recenter_one)(vig, dx, dy)
 
 
 def build_psf(image_bksub, bkg_std, cat, image_shape,
-              params: PSFParams = PSFParams()):
+              params: PSFParams = PSFParams(), n_active=None):
     """Fit the spatially-varying PSF from a fixed-capacity catalog.
 
     cat must hold x, y, flux (e.g. large-aperture), snr, elong, valid —
-    all (N,).  Returns a :class:`PSFModel`.
+    all (N,).  Slots past ``n_active`` skip their window gathers
+    entirely (ops.windows).  Returns a :class:`PSFModel`.
     """
+    from blackbox_tpu.ops.windows import chunked_slot_map
     p = params
     H, W = image_shape
     xs, ys = cat["x"], cat["y"]
@@ -151,10 +161,16 @@ def build_psf(image_bksub, bkg_std, cat, image_shape,
             & (xs > p.size) & (xs < W - p.size)
             & (ys > p.size) & (ys < H - p.size))
 
-    vig, dx, dy = extract_vignettes(image_bksub, xs, ys, p.size)
-    var, _, _ = extract_vignettes(bkg_std, xs, ys, p.size)
-    var = var ** 2 + jnp.maximum(vig, 0.0)          # bkg + Poisson [e-]
-    vig = _recenter(vig, dx, dy)
+    S = p.size
+    y0, x0, dx, dy = _vignette_grid(image_shape, xs, ys, S)
+
+    def one(y0i, x0i, dxi, dyi):
+        v = jax.lax.dynamic_slice(image_bksub, (y0i, x0i), (S, S))
+        sd = jax.lax.dynamic_slice(bkg_std, (y0i, x0i), (S, S))
+        varo = sd ** 2 + jnp.maximum(v, 0.0)        # bkg + Poisson [e-]
+        return _recenter_one(v, dxi, dyi), varo
+
+    vig, var = chunked_slot_map(one, (y0, x0, dx, dy), n_active=n_active)
 
     flux = jnp.sum(vig, axis=(1, 2))
     star = star & (flux > 0)
@@ -241,36 +257,43 @@ def psf_fwhm(psf_img):
 
 
 def psf_photometry(image_bksub, bkg_std, model: PSFModel, xs, ys,
-                   window: int | None = None):
+                   window: int | None = None, n_active=None):
     """Optimal (matched-filter) PSF flux at given positions.
 
     F = Σ P·D/σ² / Σ P²/σ²,  σ_F = (Σ P²/σ²)^(-1/2)
     (Naylor 1998; the zogy ``flux_opt`` the reference's catalogs carry).
+    Slots past ``n_active`` skip their window gathers (ops.windows).
     Returns (flux, fluxerr) of shape (N,).
     """
+    from blackbox_tpu.ops.windows import chunked_slot_map
     S = model.basis.shape[-1] if window is None else window
-    vig, dx, dy = extract_vignettes(image_bksub, xs, ys, S)
-    sig, _, _ = extract_vignettes(bkg_std, xs, ys, S)
+    y0, x0, dx, dy = _vignette_grid(image_bksub.shape, xs, ys, S)
 
-    # recenter the DATA with the same bilinear shift used on the
-    # vignettes that built the model: both then carry identical
-    # interpolation smoothing, so the matched-filter scale is unbiased
-    # (recentring the PSF instead would smooth it twice -> % -level
-    # flux-scale errors)
-    vig = _recenter(vig, dx, dy)
-    sig = _recenter(sig, dx, dy)
-    P = psf_at(model, xs, ys)                        # (N, S, S)
+    def one(y0i, x0i, dxi, dyi, xi, yi):
+        v = jax.lax.dynamic_slice(image_bksub, (y0i, x0i), (S, S))
+        sd = jax.lax.dynamic_slice(bkg_std, (y0i, x0i), (S, S))
+        # recenter the DATA with the same bilinear shift used on the
+        # vignettes that built the model: both then carry identical
+        # interpolation smoothing, so the matched-filter scale is
+        # unbiased (recentring the PSF instead would smooth it twice ->
+        # %-level flux-scale errors)
+        v = _recenter_one(v, dxi, dyi)
+        sd = _recenter_one(sd, dxi, dyi)
+        P = psf_at(model, xi, yi)                    # (S, S)
+        # background-only variance in the weights: including the
+        # source's own Poisson noise correlates weights with data and
+        # biases bright stars low by ~1-3% (flux-dependent — poisons
+        # the zeropoint)
+        var = sd ** 2
+        ivar = 1.0 / jnp.maximum(var, 1e-9)
+        den = jnp.sum(P * P * ivar)
+        num = jnp.sum(P * v * ivar)
+        flux = num / jnp.maximum(den, 1e-12)
+        # the reported error still includes the source Poisson term
+        err2 = jnp.sum(P * P * ivar * ivar
+                       * (var + jnp.maximum(v, 0.0))) \
+            / jnp.maximum(den, 1e-12) ** 2
+        return flux, jnp.sqrt(jnp.maximum(err2, 1e-12))
 
-    # background-only variance in the weights: including the source's
-    # own Poisson noise correlates weights with data and biases bright
-    # stars low by ~1-3% (flux-dependent — poisons the zeropoint)
-    var = sig ** 2
-    ivar = 1.0 / jnp.maximum(var, 1e-9)
-    den = jnp.sum(P * P * ivar, axis=(1, 2))
-    num = jnp.sum(P * vig * ivar, axis=(1, 2))
-    flux = num / jnp.maximum(den, 1e-12)
-    # the reported error still includes the source Poisson term
-    err2 = jnp.sum(P * P * ivar * ivar
-                   * (var + jnp.maximum(vig, 0.0)), axis=(1, 2)) \
-        / jnp.maximum(den, 1e-12) ** 2
-    return flux, jnp.sqrt(jnp.maximum(err2, 1e-12))
+    return chunked_slot_map(one, (y0, x0, dx, dy, xs, ys),
+                            n_active=n_active)

@@ -234,7 +234,7 @@ def extract_catalog(ctx: ReduceContext, sci, mask_m):
     cat = segment_catalog(sub, bstd, seg, n, ctx.det_params)
     cat.update(moments_shape(cat))
     flux, fluxerr = aperture_photometry(
-        sub, bstd, cat["x"], cat["y"], ctx.apphot_radii)
+        sub, bstd, cat["x"], cat["y"], ctx.apphot_radii, n_active=n)
     cat["flux_ap"] = flux
     cat["fluxerr_ap"] = fluxerr
     cat["snr"] = flux[:, -1] / jnp.maximum(fluxerr[:, -1], 1e-9)
@@ -270,9 +270,10 @@ def extract_catalog(ctx: ReduceContext, sci, mask_m):
     # flux_opt equivalents — SURVEY.md §2.4/§2.5)
     if ctx.fit_psf:
         cat = jax.lax.optimization_barrier(cat)
-        model = build_psf(sub, bstd, cat, sci.shape, ctx.psf_params)
+        model = build_psf(sub, bstd, cat, sci.shape, ctx.psf_params,
+                          n_active=n)
         fpsf, fpsf_err = psf_photometry(sub, bstd, model,
-                                        cat["x"], cat["y"])
+                                        cat["x"], cat["y"], n_active=n)
         cat["flux_psf"] = fpsf
         cat["fluxerr_psf"] = fpsf_err
         cen = psf_at(model, 0.5 * sci.shape[1], 0.5 * sci.shape[0])
