@@ -176,9 +176,13 @@ def segment_catalog(image_bksub, bkg_std, seg, n_sources,
         slots = jnp.clip(jnp.searchsorted(cnt, kb, side="left"),
                          0, p.max_sources - 1)
         ok = kb <= cnt[-1]
+        # chunk 128: the big windows are 9x the pixels of the small
+        # ones, and typical frames have only O(100) truncated segments
+        # against the 1024 cap — without the small chunk the default
+        # (2048) degenerates to a dense vmap over all 1024 big windows
         outb = _window_moments(image_bksub, seg, rootval[slots],
                                ry[slots], rx[slots], win_big,
-                               n_active=cnt[-1])
+                               n_active=cnt[-1], chunk=128)
 
         def put(a, b):
             return a.at[slots].set(jnp.where(ok, b, a[slots]))
@@ -200,7 +204,7 @@ def segment_catalog(image_bksub, bkg_std, seg, n_sources,
 
 
 def _window_moments(image_bksub, seg, rootval, ry, rx, win: int,
-                    n_active=None):
+                    n_active=None, chunk: int = 2048):
     """Windowed per-segment moments (vmapped dynamic slices, chunked
     with early exit past ``n_active`` slots); the last return is the
     window-truncation flag (segment touches the border)."""
@@ -240,7 +244,8 @@ def _window_moments(image_bksub, seg, rootval, ry, rx, win: int,
         return (xc, yc, flux, npix, jnp.where(npix > 0, peak, 0.0),
                 x2, y2, xy, border & (npix > 0))
 
-    return chunked_slot_map(one, (rootval, y0, x0), n_active=n_active)
+    return chunked_slot_map(one, (rootval, y0, x0), n_active=n_active,
+                            chunk=chunk)
 
 
 def moments_shape(cat):

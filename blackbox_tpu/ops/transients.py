@@ -117,8 +117,13 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
         return (npix, wsum, wx, wy, x2c, y2c, xyc, peak_abs, pos_sum,
                 neg_sum, peak_idx, truncated)
 
+    # chunked with early exit: a typical Scorr map yields tens-to-
+    # hundreds of candidates against the 2000-slot capacity (see
+    # ops.windows); skipped slots zero-fill and fail the in_range vet
+    from blackbox_tpu.ops.windows import chunked_slot_map
     (npix, wsum, wx, wy, x2c, y2c, xyc, peak_abs, pos_sum, neg_sum,
-     peak_idx, truncated) = jax.vmap(one)(rootval, y0, x0)
+     peak_idx, truncated) = chunked_slot_map(
+        one, (rootval, y0, x0), n_active=n, chunk=256)
     # prepend the background bucket so slot arithmetic below matches
     # the old 1-indexed layout
     pad0f = lambda v: jnp.concatenate([jnp.zeros((1,), v.dtype), v])  # noqa
