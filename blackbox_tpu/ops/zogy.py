@@ -32,17 +32,27 @@ class ZogyParams:
 
 
 def psf_to_otf(psf_stamp, shape):
-    """Embed a centred (S, S) PSF stamp into an (H, W) frame and rfft2.
+    """OTF of a centred (S, S) PSF stamp on an (H, W) frame grid.
 
-    The stamp centre pixel moves to (0, 0) so the OTF has zero phase for
-    a symmetric PSF.
+    Mathematically identical to zero-padding the stamp to the frame,
+    rolling its centre pixel to (0, 0) and taking ``rfft2`` — but a
+    zero-padded full-frame FFT costs ~50 ms at 10.5k² while the DFT of
+    a 25-px-support function is two small separable complex matmuls
+    (MXU, ~1 ms):  OTF[u, v] = Σ_yx psf[y,x]·e^(-2πi·u(y-c)/H)
+    ·e^(-2πi·v(x-c)/W).
     """
     H, W = shape
     S = psf_stamp.shape[-1]
-    pad = jnp.zeros(shape, psf_stamp.dtype)
-    pad = pad.at[:S, :S].set(psf_stamp)
-    pad = jnp.roll(pad, (-(S // 2), -(S // 2)), axis=(0, 1))
-    return jnp.fft.rfft2(pad)
+    c = S // 2
+    u = jnp.arange(H, dtype=jnp.float32)[:, None]        # (H, 1)
+    y = (jnp.arange(S, dtype=jnp.float32) - c)[None, :]  # (1, S)
+    Ey = jnp.exp(-2j * jnp.pi / H * (u * y))             # (H, S)
+    v = jnp.arange(W // 2 + 1, dtype=jnp.float32)[None, :]
+    x = (jnp.arange(S, dtype=jnp.float32) - c)[:, None]
+    Ex = jnp.exp(-2j * jnp.pi / W * (x * v))             # (S, Wr)
+    mid = jnp.matmul(psf_stamp.astype(jnp.complex64), Ex,
+                     precision="highest")                # (S, Wr)
+    return jnp.matmul(Ey, mid, precision="highest")      # (H, Wr)
 
 
 def _freq_grids(shape):
@@ -54,7 +64,8 @@ def _freq_grids(shape):
 
 def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
                   fn=1.0, fr=1.0, var_new=None, var_ref=None,
-                  params: ZogyParams = ZogyParams()):
+                  params: ZogyParams = ZogyParams(),
+                  want_psf_d: bool = True):
     """Optimal subtraction of a registered (ref -> new grid) image pair.
 
     new, ref : (H, W) background-subtracted images [e-]
@@ -63,11 +74,23 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     fn, fr   : flux zeropoint scalings (fr/fn = flux ratio ref/new)
     var_new, var_ref : optional (H, W) variance maps for the Scorr
         source-noise correction (defaults to the scalar backgrounds)
+    want_psf_d : skip the full-frame inverse FFT behind the ``psf_D``
+        stamp when the caller does not ship thumbnails
 
     Returns dict with D (difference, new-image flux units), S, Scorr,
     Fpsf/Fpsferr (PSF flux + error of a transient at each pixel), and the
     difference PSF stamp ``psf_D`` (same size as psf_new) with its flux
     normalisation F_D.
+
+    The chain is full-frame-FFT bound (~50 ms per 10.5k² transform on
+    one v5e chip), so transforms are budgeted: scalar variances take a
+    Parseval shortcut (V[S] source term = Vn·Σkn² with Σkn² summed in
+    the frequency domain — no kernel round-trip), the two source-noise
+    back-transforms merge into one, and the astrometric-variance
+    gradients are real-space centred differences of S_n/S_r (matching
+    the reference's ``np.gradient``; interior-exact, and the 1-px
+    wrap-around border lies inside the EDGE mask) instead of four
+    spectral-derivative inverse FFTs.
     """
     p = params
     shape = new.shape
@@ -101,58 +124,73 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     # matched-filter kernels k_n, k_r (eq. 26-29)
     kn_hat = fn * fr ** 2 * jnp.conj(Pn) * Pr2 / den
     kr_hat = fr * fn ** 2 * jnp.conj(Pr) * Pn2 / den
-    kn2_hat = jnp.fft.rfft2(jnp.fft.irfft2(kn_hat, shape) ** 2)
-    kr2_hat = jnp.fft.rfft2(jnp.fft.irfft2(kr_hat, shape) ** 2)
 
-    # variance maps are clamped: the float32 FFT loses ~7 digits, so a
-    # handful of huge sentinel pixels would corrupt V[S] frame-wide
-    vcap = 1e4 * (sn ** 2 + sr ** 2)
-    Vn = (sn ** 2 * jnp.ones(shape, jnp.float32) if var_new is None
-          else jnp.clip(var_new, 0.0, vcap))
-    Vr = (sr ** 2 * jnp.ones(shape, jnp.float32) if var_ref is None
-          else jnp.clip(var_ref, 0.0, vcap))
-    V_Sn = jnp.fft.irfft2(kn2_hat * jnp.fft.rfft2(Vn), shape)
-    V_Sr = jnp.fft.irfft2(kr2_hat * jnp.fft.rfft2(Vr), shape)
-
-    # astrometric variance (eq. 30-33): gradients of S_n = k_n ⊗ N,
-    # S_r = k_r ⊗ R, scaled by the registration rms
-    fy, fx = _freq_grids(shape)
-    two_pi_i = 2j * jnp.pi
-    Sn_hat = kn_hat * N_hat
-    Sr_hat = kr_hat * R_hat
-    dSn_dy = jnp.fft.irfft2(two_pi_i * fy[:, None] * Sn_hat, shape)
-    dSn_dx = jnp.fft.irfft2(two_pi_i * fx[None, :] * Sn_hat, shape)
-    dSr_dy = jnp.fft.irfft2(two_pi_i * fy[:, None] * Sr_hat, shape)
-    dSr_dx = jnp.fft.irfft2(two_pi_i * fx[None, :] * Sr_hat, shape)
-    V_ast = (p.dx ** 2 * (dSn_dx ** 2 + dSr_dx ** 2)
-             + p.dy ** 2 * (dSn_dy ** 2 + dSr_dy ** 2))
-
-    V_S = V_Sn + V_Sr + V_ast
-    Scorr = S / jnp.sqrt(jnp.maximum(V_S, p.eps))
-
-    # PSF-flux translation (eq. 41-42): F_psf = S / F_S.  The sum runs
-    # over the FULL spectrum; the rfft half-plane stores interior
-    # columns once, so they count twice (DC column, and the Nyquist
-    # column for even W, appear exactly once).
+    # rfft half-plane column weights for full-spectrum Parseval sums
     Wr = Pn2.shape[-1]
     colw = jnp.full((Wr,), 2.0, jnp.float32)
     colw = colw.at[0].set(1.0)
     if W % 2 == 0:
         colw = colw.at[-1].set(1.0)
+
+    if var_new is None and var_ref is None:
+        # scalar variances: kn²⊗const = const·Σkn², and Σkn² is a
+        # Parseval sum of |kn_hat|² — no kernel/variance FFT round-trip
+        sum_kn2 = jnp.sum(colw * jnp.abs(kn_hat) ** 2) / (H * W)
+        sum_kr2 = jnp.sum(colw * jnp.abs(kr_hat) ** 2) / (H * W)
+        V_src = sn ** 2 * sum_kn2 + sr ** 2 * sum_kr2
+    else:
+        kn2_hat = jnp.fft.rfft2(jnp.fft.irfft2(kn_hat, shape) ** 2)
+        kr2_hat = jnp.fft.rfft2(jnp.fft.irfft2(kr_hat, shape) ** 2)
+        # variance maps are clamped: the float32 FFT loses ~7 digits,
+        # so a handful of huge sentinel pixels would corrupt V[S]
+        # frame-wide
+        vcap = 1e4 * (sn ** 2 + sr ** 2)
+        Vn = (sn ** 2 * jnp.ones(shape, jnp.float32) if var_new is None
+              else jnp.clip(var_new, 0.0, vcap))
+        Vr = (sr ** 2 * jnp.ones(shape, jnp.float32) if var_ref is None
+              else jnp.clip(var_ref, 0.0, vcap))
+        # one merged back-transform: irfft2 is linear in its operand
+        V_src = jnp.fft.irfft2(kn2_hat * jnp.fft.rfft2(Vn)
+                               + kr2_hat * jnp.fft.rfft2(Vr), shape)
+
+    # astrometric variance (eq. 30-33): gradients of S_n = k_n ⊗ N,
+    # S_r = k_r ⊗ R, scaled by the registration rms.  Real-space
+    # centred differences (the reference's np.gradient) cost two
+    # inverse FFTs instead of four spectral derivatives.
+    Sn = jnp.fft.irfft2(kn_hat * N_hat, shape)
+    Sr = jnp.fft.irfft2(kr_hat * R_hat, shape)
+
+    def _grad(img):
+        gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
+        gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
+        return gy, gx
+
+    dSn_dy, dSn_dx = _grad(Sn)
+    dSr_dy, dSr_dx = _grad(Sr)
+    V_ast = (p.dx ** 2 * (dSn_dx ** 2 + dSr_dx ** 2)
+             + p.dy ** 2 * (dSn_dy ** 2 + dSr_dy ** 2))
+
+    V_S = V_src + V_ast
+    Scorr = S / jnp.sqrt(jnp.maximum(V_S, p.eps))
+
+    # PSF-flux translation (eq. 41-42): F_psf = S / F_S.  The sum runs
+    # over the FULL spectrum; the rfft half-plane stores interior
+    # columns once, so they count twice (DC column, and the Nyquist
+    # column for even W, appear exactly once) — colw from above.
     F_S = jnp.sum(colw * fn ** 2 * fr ** 2 * Pn2 * Pr2 / den) / (H * W)
     F_S = jnp.maximum(F_S, p.eps)
     Fpsf = S / F_S
     Fpsferr = jnp.sqrt(jnp.maximum(V_S, p.eps)) / F_S
 
-    # difference PSF stamp for thumbnail/vetting use
-    Spsf = psf_new.shape[-1]
-    psf_D_full = jnp.fft.irfft2(P_D_hat, shape)
-    psf_D = jnp.roll(psf_D_full, (Spsf // 2, Spsf // 2),
-                     axis=(0, 1))[:Spsf, :Spsf]
-
-    return {"D": D, "S": S, "Scorr": Scorr,
-            "Fpsf": Fpsf, "Fpsferr": Fpsferr,
-            "psf_D": psf_D, "F_D": F_D, "F_S": F_S}
+    out = {"D": D, "S": S, "Scorr": Scorr,
+           "Fpsf": Fpsf, "Fpsferr": Fpsferr, "F_D": F_D, "F_S": F_S}
+    if want_psf_d:
+        # difference PSF stamp for thumbnail/vetting use
+        Spsf = psf_new.shape[-1]
+        psf_D_full = jnp.fft.irfft2(P_D_hat, shape)
+        out["psf_D"] = jnp.roll(psf_D_full, (Spsf // 2, Spsf // 2),
+                                axis=(0, 1))[:Spsf, :Spsf]
+    return out
 
 
 def flux_ratio(flux_new, flux_ref, snr_new, snr_ref, valid,

@@ -138,7 +138,8 @@ def run_subtraction(new: SubtractionInput, ref: SubtractionInput,
         var_ref = ref_std_r ** 2 + jnp.maximum(ref_sub, 0.0)
         out = zogy_subtract(new_sub, ref_sub, psf_n, psf_r, sn, sr,
                             fn=1.0, fr=fratio,
-                            var_new=var_new, var_ref=var_ref, params=zp)
+                            var_new=var_new, var_ref=var_ref, params=zp,
+                            want_psf_d=False)
         cat, ntrans = extract_transients(out, new_mask, ref_mask_r,
                                          trans_params)
         return out, cat, ntrans, ref_mask_r, ref_sub

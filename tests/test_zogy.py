@@ -118,3 +118,18 @@ def test_flux_ratio_clipped_median():
                                jnp.asarray(valid))
     assert abs(float(r) - 2.0) < 1e-3
     assert int(nused) >= n - 5
+
+
+def test_psf_to_otf_matches_padded_fft(rng):
+    """The separable-DFT OTF equals the zero-pad + roll + rfft2 OTF."""
+    from blackbox_tpu.ops.zogy import psf_to_otf
+    S, H, W = 9, 64, 80
+    p = rng.random((S, S)).astype(np.float32)
+    p /= p.sum()
+    got = np.asarray(psf_to_otf(jnp.asarray(p), (H, W)))
+
+    pad = np.zeros((H, W), np.float32)
+    pad[:S, :S] = p
+    pad = np.roll(pad, (-(S // 2), -(S // 2)), axis=(0, 1))
+    ref = np.fft.rfft2(pad)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
