@@ -32,17 +32,10 @@ def main():
     # the good compile from cache.  Dir is keyed by host CPU model: a
     # cache written by a different host returns corrupted results
     # (PERF_NOTES.md).
-    cache_dir = None
-    try:
-        import hashlib
-        with open("/proc/cpuinfo") as f:
-            cpu = [ln for ln in f if "model name" in ln]
-        tag = hashlib.sha1("".join(cpu[:1]).encode()).hexdigest()[:10]
-        cache_dir = f"/tmp/jax_cache_blackbox_tpu_bench_{tag}"
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from blackbox_tpu.utils.compilecache import (
+        enable_persistent_cache, host_fingerprint)
+    cache_dir = enable_persistent_cache(
+        f"/tmp/jax_cache_blackbox_tpu_bench_{host_fingerprint()}")
     from blackbox_tpu.core.geometry import MEERLICHT
     from blackbox_tpu.config.defaults import ReductionSettings
     from blackbox_tpu.pipeline.reduce import (

@@ -146,6 +146,12 @@ class ReductionSettings(Settings):
     # processing resources
     nproc: int = 1
     device_batch: int = 1           # frames stacked per device step
+    # persistent XLA compilation cache: the TPU compiler's autotune is
+    # a per-module-hash lottery (same program, up to 35% executable
+    # spread — PERF_NOTES.md); caching pins the compile across runs.
+    # True = auto dir fingerprinted by host CPU, str = explicit dir,
+    # False/None = off
+    compile_cache: Any = True
 
     # observatory sites per telescope (lat, lon[deg E], height[m]) —
     # MeerLICHT @ Sutherland, BlackGEM @ La Silla

@@ -159,6 +159,14 @@ class Pipeline:
         # (reference set_blackbox.py:187-196 / blackbox.py:4375-4416)
         self._bpm_cache = {}
 
+        # pin compiles across runs (compile_cache knob; see
+        # utils.compilecache for why this matters on TPU)
+        cc = getattr(self.settings, "compile_cache", True)
+        if cc:
+            from blackbox_tpu.utils.compilecache import \
+                enable_persistent_cache
+            enable_persistent_cache(cc)
+
         ctx_ = self.ctx
         xt = self.xtalk
         nl = self.nonlin_coeffs

@@ -95,3 +95,23 @@ def test_first_host():
 def test_init_multihost_single_noop(monkeypatch):
     monkeypatch.delenv("SLURM_NTASKS", raising=False)
     assert init_multihost() is False
+
+
+def test_compile_cache_knob():
+    """compile_cache settings knob: auto defers to an existing dir,
+    explicit path overrides, False disables."""
+    import jax
+    from blackbox_tpu.utils.compilecache import enable_persistent_cache
+
+    before = getattr(jax.config, "jax_compilation_cache_dir", None)
+    try:
+        assert enable_persistent_cache(False) is None
+        # conftest configured a cache dir -> auto keeps it
+        got = enable_persistent_cache(True)
+        assert got == before and before is not None
+        # explicit path overrides
+        got = enable_persistent_cache("/tmp/jax_cache_bbt_test_knob")
+        assert got == "/tmp/jax_cache_bbt_test_knob"
+        assert jax.config.jax_compilation_cache_dir == got
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
