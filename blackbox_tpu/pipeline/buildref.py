@@ -300,6 +300,22 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
     out_mask = np.zeros(out_shape, np.uint8)
 
     Wy = Wx = None
+    fs_dev = jnp.asarray(fscales)
+
+    def drain(pending):
+        """Materialise a finished block into the host mosaics."""
+        b0, hb, (co, wsum, nclip, mask_co) = pending
+        out_img[b0:b0 + hb] = np.asarray(co)[:hb]
+        out_wsum[b0:b0 + hb] = np.asarray(wsum)[:hb]
+        out_nclip[b0:b0 + hb] = np.asarray(nclip)[:hb]
+        out_mask[b0:b0 + hb] = np.asarray(mask_co)[:hb]
+
+    # 1-deep software pipeline: while the device combines block k, the
+    # host prepares and transfers block k+1's slabs (JAX dispatch is
+    # async; only the np.asarray drain of block k-1 blocks).  Wall time
+    # is then max(host prep + transfer, device compute) per block, not
+    # their sum.
+    pending = None
     for b0 in range(0, H, block_rows):
         hb = min(block_rows, H - b0)
         slabs_i, slabs_s, slabs_m, csys, csxs = [], [], [], [], []
@@ -320,16 +336,17 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
             slabs_m.append(msks[i][y0s:y0s + slab_h])
             csys.append((sy_c - y0s).astype(np.float32))
             csxs.append(sx_c.astype(np.float32))
-        co, wsum, nclip, mask_co = combine_block(
+        res = combine_block(
             jnp.asarray(np.stack(slabs_i)),
             jnp.asarray(np.stack(slabs_s)),
             jnp.asarray(np.stack(slabs_m)),
             jnp.asarray(np.stack(csys)), jnp.asarray(np.stack(csxs)),
-            Wy, Wx, jnp.asarray(fscales))
-        out_img[b0:b0 + hb] = np.asarray(co)[:hb]
-        out_wsum[b0:b0 + hb] = np.asarray(wsum)[:hb]
-        out_nclip[b0:b0 + hb] = np.asarray(nclip)[:hb]
-        out_mask[b0:b0 + hb] = np.asarray(mask_co)[:hb]
+            Wy, Wx, fs_dev)
+        if pending is not None:
+            drain(pending)
+        pending = (b0, hb, res)
+    if pending is not None:
+        drain(pending)
 
     std_co = np.asarray(coadd_bkg_std(jnp.asarray(out_wsum)))
     return {
