@@ -120,6 +120,34 @@ def test_flux_ratio_clipped_median():
     assert int(nused) >= n - 5
 
 
+def test_zogy_kernel_stamp_matches_exact(rng):
+    """Small-stamp k² spectra reproduce the exact full-frame round-trip.
+
+    The variance-map path with kernel_stamp=K builds kn²/kr² on a K×K
+    aliased grid; with K comfortably above the kernels' decay length the
+    Scorr statistic must match the exact (kernel_stamp=0) computation.
+    """
+    new, ref, sn, sr = _scene(rng)
+    new = new + star_image(new.shape, [[71.3, 140.6, 3.0e4, 3.2]],
+                           moffat_beta=20.0).astype(np.float32)
+    vn = jnp.asarray(sn ** 2 + np.maximum(new, 0.0))
+    vr = jnp.asarray(sr ** 2 + np.maximum(ref, 0.0))
+    args = (jnp.asarray(new), jnp.asarray(ref),
+            jnp.asarray(_gauss_psf(25, 3.2)),
+            jnp.asarray(_gauss_psf(25, 2.6)), sn, sr)
+    kw = dict(var_new=vn, var_ref=vr, want_psf_d=False)
+    exact = zogy_subtract(*args, params=ZogyParams(kernel_stamp=0), **kw)
+    small = zogy_subtract(*args, params=ZogyParams(kernel_stamp=128), **kw)
+    s_e = np.asarray(exact["Scorr"])
+    s_s = np.asarray(small["Scorr"])
+    assert np.isfinite(s_s).all()
+    # interior comparison (the aliased fold only matters at the border)
+    d = np.abs(s_s - s_e)[16:-16, 16:-16]
+    assert d.max() < 0.02, d.max()
+    np.testing.assert_allclose(np.asarray(small["D"]),
+                               np.asarray(exact["D"]), atol=1e-4)
+
+
 def test_psf_to_otf_matches_padded_fft(rng):
     """The separable-DFT OTF equals the zero-pad + roll + rfft2 OTF."""
     from blackbox_tpu.ops.zogy import psf_to_otf
