@@ -66,9 +66,17 @@ def _radon_fft(stack, n_angles: int):
     """
     Bn, Hb, Wb = stack.shape
     # 1.5x padding: the projection support spans the image diagonal
-    # (~1.42x), and mod-N wraparound must not alias distinct lines
+    # (~1.42x), and mod-N wraparound must not alias distinct lines.
+    # Production-scale grids round up to an FFT-friendly size (odd-radix
+    # transforms are several times slower on TPU; ops.zogy
+    # .fast_fft_size); tiny test grids keep the minimal even size, where
+    # the transform is cheap either way.
     N = int(np.ceil(1.5 * max(Hb, Wb)))
-    N += N % 2
+    if N > 512:
+        from blackbox_tpu.ops.zogy import fast_fft_size
+        N = fast_fft_size(N)
+    if N % 2:
+        N += N % 2
     Zp = jnp.zeros((Bn, N, N), stack.dtype)
     Zp = Zp.at[:, :Hb, :Wb].set(stack)      # corner origin
 

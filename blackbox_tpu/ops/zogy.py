@@ -38,6 +38,14 @@ class ZogyParams:
     # (~200 ms at 10.5k²) with ~10 ms of MXU work.  0 = exact
     # full-frame round-trip.
     kernel_stamp: int = 256
+    # Zero-pad the frames to the next FFT-friendly size before the
+    # transform chain.  XLA's TPU FFT at 10560 (odd part 3·5·11) runs
+    # ~30% slower per transform than at 10752 = 2⁹·21 (measured on
+    # v5e; PERF_NOTES.md), so padding 1.8% more pixels is a large net
+    # win.  Only the ~PSF-width border band differs from the unpadded
+    # statistic (wraparound sees zeros instead of the opposite edge);
+    # it lies inside the EDGE mask either way.
+    pad_fast: bool = True
 
 
 def psf_to_otf(psf_stamp, shape):
@@ -62,6 +70,24 @@ def psf_to_otf(psf_stamp, shape):
     mid = jnp.matmul(psf_stamp.astype(jnp.complex64), Ex,
                      precision="highest")                # (S, Wr)
     return jnp.matmul(Ey, mid, precision="highest")      # (H, Wr)
+
+
+def fast_fft_size(n: int) -> int:
+    """Smallest m >= n of the form 2^a·{1,3,5,7,11,21}.
+
+    On the v5e, transform time tracks the size's odd part: 10560
+    (odd 165) round-trips in 137 ms, 10752 = 2⁹·21 in 105 ms, 10240 =
+    2¹¹·5 in 92 ms, while 10800 (odd 675) takes 928 ms.  The allowed
+    odd parts are the measured-fast ones.
+    """
+    best = None
+    for m in (1, 3, 5, 7, 11, 21):
+        c = m
+        while c < n:
+            c <<= 1
+        if best is None or c < best:
+            best = c
+    return best
 
 
 def _kernel_sq_otfs(psf_new, psf_ref, fn, fr, sn, sr, eps, K, shape):
@@ -126,8 +152,17 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     spectral-derivative inverse FFTs.
     """
     p = params
-    shape = new.shape
-    H, W = shape
+    H, W = new.shape
+    Hp = fast_fft_size(H) if p.pad_fast else H
+    Wp = fast_fft_size(W) if p.pad_fast else W
+    shape = (Hp, Wp)
+    if (Hp, Wp) != (H, W):
+        def _pad(a):
+            return jnp.pad(a, ((0, Hp - H), (0, Wp - W)))
+        new = _pad(new)
+        ref = _pad(ref)
+        var_new = None if var_new is None else _pad(var_new)
+        var_ref = None if var_ref is None else _pad(var_ref)
 
     N_hat = jnp.fft.rfft2(new)
     R_hat = jnp.fft.rfft2(ref)
@@ -158,14 +193,14 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     Wr = Pn2.shape[-1]
     colw = jnp.full((Wr,), 2.0, jnp.float32)
     colw = colw.at[0].set(1.0)
-    if W % 2 == 0:
+    if Wp % 2 == 0:
         colw = colw.at[-1].set(1.0)
 
     if var_new is None and var_ref is None:
         # scalar variances: kn²⊗const = const·Σkn², and Σkn² is a
         # Parseval sum of |kn_hat|² — no kernel/variance FFT round-trip
-        sum_kn2 = jnp.sum(colw * jnp.abs(kn_hat) ** 2) / (H * W)
-        sum_kr2 = jnp.sum(colw * jnp.abs(kr_hat) ** 2) / (H * W)
+        sum_kn2 = jnp.sum(colw * jnp.abs(kn_hat) ** 2) / (Hp * Wp)
+        sum_kr2 = jnp.sum(colw * jnp.abs(kr_hat) ** 2) / (Hp * Wp)
         V_src = sn ** 2 * sum_kn2 + sr ** 2 * sum_kr2
     else:
         K = params.kernel_stamp
@@ -216,13 +251,17 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     # over the FULL spectrum; the rfft half-plane stores interior
     # columns once, so they count twice (DC column, and the Nyquist
     # column for even W, appear exactly once) — colw from above.
-    F_S = jnp.sum(colw * fn ** 2 * fr ** 2 * Pn2 * Pr2 / den) / (H * W)
+    F_S = jnp.sum(colw * fn ** 2 * fr ** 2 * Pn2 * Pr2 / den) / (Hp * Wp)
     F_S = jnp.maximum(F_S, p.eps)
     Fpsf = S / F_S
     Fpsferr = jnp.sqrt(jnp.maximum(V_S, p.eps)) / F_S
 
-    out = {"D": D, "S": S, "Scorr": Scorr,
-           "Fpsf": Fpsf, "Fpsferr": Fpsferr, "F_D": F_D, "F_S": F_S}
+    def _crop(a):
+        return a[:H, :W] if (Hp, Wp) != (H, W) else a
+
+    out = {"D": _crop(D), "S": _crop(S), "Scorr": _crop(Scorr),
+           "Fpsf": _crop(Fpsf), "Fpsferr": _crop(Fpsferr),
+           "F_D": F_D, "F_S": F_S}
     if want_psf_d:
         # difference PSF stamp for thumbnail/vetting use
         Spsf = psf_new.shape[-1]

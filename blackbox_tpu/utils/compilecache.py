@@ -25,11 +25,19 @@ log = logging.getLogger(__name__)
 
 
 def host_fingerprint() -> str:
-    """Short tag identifying the host CPU (cache-compatibility key)."""
+    """Short tag identifying the host CPU (cache-compatibility key).
+
+    Hashes the model name AND the feature-flags line: VM hosts expose
+    the same model string with differing feature sets, and XLA:CPU AOT
+    artifacts compiled for a superset of the current host's features
+    load with a SIGILL/corruption warning.
+    """
     try:
         with open("/proc/cpuinfo") as f:
-            model = [ln for ln in f if "model name" in ln][:1]
-        return hashlib.sha1("".join(model).encode()).hexdigest()[:10]
+            lines = f.read().splitlines()
+        key = [next((ln for ln in lines if ln.startswith(pat)), "")
+               for pat in ("model name", "flags")]
+        return hashlib.sha1("\n".join(key).encode()).hexdigest()[:10]
     except OSError:
         return "nohost"
 

@@ -23,11 +23,10 @@ jax.config.update("jax_platforms", "cpu")
 # single-core host.  The dir is fingerprinted by the host CPU: XLA:CPU
 # AOT artifacts are machine-specific, and loading a cache produced on
 # a different box returns CORRUPTED results (observed: garbage masks)
-import hashlib as _hl
-import platform as _pf
-_fp = _hl.md5((_pf.machine() + _pf.processor()
-               + open("/proc/cpuinfo").read().split("model name")[1][:80]
-               ).encode()).hexdigest()[:10]
+# (model name + flags: VM hosts expose the same model string with
+# differing feature sets, which still corrupts AOT artifacts)
+from blackbox_tpu.utils.compilecache import host_fingerprint as _hfp
+_fp = _hfp()
 if not os.environ.get("BBT_NO_CACHE"):
     jax.config.update("jax_compilation_cache_dir",
                   f"/tmp/jax_cache_blackbox_tpu_tests_{_fp}")
