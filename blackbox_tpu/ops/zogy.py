@@ -123,6 +123,7 @@ def _freq_grids(shape):
 
 def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
                   fn=1.0, fr=1.0, var_new=None, var_ref=None,
+                  var_bkg_new=None, var_bkg_ref=None,
                   params: ZogyParams = ZogyParams(),
                   want_psf_d: bool = True):
     """Optimal subtraction of a registered (ref -> new grid) image pair.
@@ -131,8 +132,17 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     psf_new, psf_ref : (S, S) unit-sum PSF stamps on the same grid
     sn, sr   : scalar background STDs [e-]
     fn, fr   : flux zeropoint scalings (fr/fn = flux ratio ref/new)
-    var_new, var_ref : optional (H, W) variance maps for the Scorr
-        source-noise correction (defaults to the scalar backgrounds)
+    var_new, var_ref : optional (H, W) explicit variance maps for the
+        Scorr source-noise correction (two forward FFTs)
+    var_bkg_new, var_bkg_ref : optional smooth background-variance maps
+        (or scalars).  The FAST production path: the total variance is
+        modelled as V = V_bkg + max(source, 0) with the Poisson source
+        term taken from the images themselves, so k²⊗V needs NO extra
+        forward FFT — k_bkg·ΣK² uses the Parseval sums (the kernels'
+        ~25-px support cannot resolve the ≥256-px background mesh) and
+        the source term reuses N̂/R̂ in one merged inverse transform,
+        rectified after convolution (less biased than the reference's
+        per-pixel clip before it).  Ignored when var_new/var_ref given.
     want_psf_d : skip the full-frame inverse FFT behind the ``psf_D``
         stamp when the caller does not ship thumbnails
 
@@ -196,20 +206,16 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     if Wp % 2 == 0:
         colw = colw.at[-1].set(1.0)
 
-    if var_new is None and var_ref is None:
-        # scalar variances: kn²⊗const = const·Σkn², and Σkn² is a
-        # Parseval sum of |kn_hat|² — no kernel/variance FFT round-trip
-        sum_kn2 = jnp.sum(colw * jnp.abs(kn_hat) ** 2) / (Hp * Wp)
-        sum_kr2 = jnp.sum(colw * jnp.abs(kr_hat) ** 2) / (Hp * Wp)
-        V_src = sn ** 2 * sum_kn2 + sr ** 2 * sum_kr2
-    else:
+    def _k2_hats():
         K = params.kernel_stamp
         if K and K < min(H, W):
-            kn2_hat, kr2_hat = _kernel_sq_otfs(
+            return _kernel_sq_otfs(
                 psf_new, psf_ref, fn, fr, sn, sr, p.eps, K, shape)
-        else:
-            kn2_hat = jnp.fft.rfft2(jnp.fft.irfft2(kn_hat, shape) ** 2)
-            kr2_hat = jnp.fft.rfft2(jnp.fft.irfft2(kr_hat, shape) ** 2)
+        return (jnp.fft.rfft2(jnp.fft.irfft2(kn_hat, shape) ** 2),
+                jnp.fft.rfft2(jnp.fft.irfft2(kr_hat, shape) ** 2))
+
+    if var_new is not None or var_ref is not None:
+        kn2_hat, kr2_hat = _k2_hats()
         # variance maps are clamped: the float32 FFT loses ~7 digits,
         # so a handful of huge sentinel pixels would corrupt V[S]
         # frame-wide
@@ -221,6 +227,24 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
         # one merged back-transform: irfft2 is linear in its operand
         V_src = jnp.fft.irfft2(kn2_hat * jnp.fft.rfft2(Vn)
                                + kr2_hat * jnp.fft.rfft2(Vr), shape)
+    else:
+        # Σk² Parseval sums cover the (smooth or scalar) background term
+        sum_kn2 = jnp.sum(colw * jnp.abs(kn_hat) ** 2) / (Hp * Wp)
+        sum_kr2 = jnp.sum(colw * jnp.abs(kr_hat) ** 2) / (Hp * Wp)
+        vbn = sn ** 2 if var_bkg_new is None else var_bkg_new
+        vbr = sr ** 2 if var_bkg_ref is None else var_bkg_ref
+        if getattr(vbn, "ndim", 0) == 2 and vbn.shape != shape:
+            vbn = jnp.pad(vbn, ((0, Hp - H), (0, Wp - W)), mode="edge")
+        if getattr(vbr, "ndim", 0) == 2 and vbr.shape != shape:
+            vbr = jnp.pad(vbr, ((0, Hp - H), (0, Wp - W)), mode="edge")
+        V_src = vbn * sum_kn2 + vbr * sum_kr2
+        if var_bkg_new is not None or var_bkg_ref is not None:
+            # Poisson source term from the images' own spectra: one
+            # merged inverse transform, rectified post-convolution
+            kn2_hat, kr2_hat = _k2_hats()
+            src = jnp.fft.irfft2(kn2_hat * N_hat + kr2_hat * R_hat,
+                                 shape)
+            V_src = V_src + jnp.maximum(src, 0.0)
 
     # astrometric variance (eq. 30-33): gradients of S_n = k_n ⊗ N,
     # S_r = k_r ⊗ R, scaled by the registration rms.  Real-space

@@ -134,11 +134,13 @@ def run_subtraction(new: SubtractionInput, ref: SubtractionInput,
                                       fill=jnp.uint8(maskbits.EDGE))
         new_sub = new_img - new_bkg
 
-        var_new = new_std ** 2 + jnp.maximum(new_sub, 0.0)
-        var_ref = ref_std_r ** 2 + jnp.maximum(ref_sub, 0.0)
+        # smooth background-variance maps + spectral Poisson source
+        # term (reuses N_hat/R_hat inside zogy_subtract — two forward
+        # variance FFTs cheaper than explicit var_new/var_ref maps)
         out = zogy_subtract(new_sub, ref_sub, psf_n, psf_r, sn, sr,
                             fn=1.0, fr=fratio,
-                            var_new=var_new, var_ref=var_ref, params=zp,
+                            var_bkg_new=new_std ** 2,
+                            var_bkg_ref=ref_std_r ** 2, params=zp,
                             want_psf_d=False)
         cat, ntrans = extract_transients(out, new_mask, ref_mask_r,
                                          trans_params)

@@ -148,6 +148,45 @@ def test_zogy_kernel_stamp_matches_exact(rng):
                                np.asarray(exact["D"]), atol=1e-4)
 
 
+def test_zogy_spectral_poisson_matches_varmap(rng):
+    """var_bkg + spectral source term ~ explicit variance maps.
+
+    The fast path models V = V_bkg + max(source, 0) with the Poisson
+    term from the images' own spectra (rectified after the k²
+    convolution instead of per-pixel before it).  Scorr must agree
+    with the explicit-map path to a few percent in the background and
+    keep the transient's significance.
+    """
+    new, ref, sn, sr = _scene(rng)
+    tf, tx, ty = 3.0e4, 71.3, 140.6
+    new = new + star_image(new.shape, [[tx, ty, tf, 3.2]],
+                           moffat_beta=20.0).astype(np.float32)
+    args = (jnp.asarray(new), jnp.asarray(ref),
+            jnp.asarray(_gauss_psf(25, 3.2)),
+            jnp.asarray(_gauss_psf(25, 2.6)), sn, sr)
+    vm = zogy_subtract(*args, want_psf_d=False,
+                       var_new=jnp.asarray(sn ** 2 + np.maximum(new, 0)),
+                       var_ref=jnp.asarray(sr ** 2 + np.maximum(ref, 0)))
+    sp = zogy_subtract(*args, want_psf_d=False,
+                       var_bkg_new=jnp.float32(sn ** 2),
+                       var_bkg_ref=jnp.float32(sr ** 2))
+    s_vm = np.asarray(vm["Scorr"])
+    s_sp = np.asarray(sp["Scorr"])
+    assert np.isfinite(s_sp).all()
+    # same unit-variance background statistic
+    assert abs(np.std(s_sp) / np.std(s_vm) - 1.0) < 0.05
+    # transient peak significance preserved
+    iy, ix = int(round(ty)), int(round(tx))
+    pk_vm = s_vm[iy - 2:iy + 3, ix - 2:ix + 3].max()
+    pk_sp = s_sp[iy - 2:iy + 3, ix - 2:ix + 3].max()
+    assert abs(pk_sp / pk_vm - 1.0) < 0.05, (pk_vm, pk_sp)
+    # pointwise agreement away from the noise floor
+    m = np.abs(s_vm) > 4.0
+    if m.any():
+        rel = np.abs(s_sp[m] - s_vm[m]) / np.abs(s_vm[m])
+        assert np.median(rel) < 0.05
+
+
 def test_psf_to_otf_matches_padded_fft(rng):
     """The separable-DFT OTF equals the zero-pad + roll + rfft2 OTF."""
     from blackbox_tpu.ops.zogy import psf_to_otf
