@@ -88,6 +88,17 @@ def moon_altitude(mjd, lat, lon_east):
     return altitude_deg(ra, dec, mjd, lat, lon_east)
 
 
+def horizon_dip_deg(height_m: float) -> float:
+    """Apparent sunrise horizon altitude for an elevated observer.
+
+    The reference's ``adjust_horizon`` (blackbox.py:488-503): −34′ for
+    atmospheric refraction (ephem tracks the top of the Sun, so no
+    solar-radius term) minus the geometric dip arccos(R/(R+h)).
+    """
+    R = 6.3781e6
+    return -34.0 / 60.0 - np.degrees(np.arccos(R / (R + max(height_m, 0.0))))
+
+
 def sun_crossing(mjd_start: float, lat: float, lon_east: float,
                  alt_deg: float = -10.0, rising: bool = True,
                  max_days: float = 1.5) -> float:

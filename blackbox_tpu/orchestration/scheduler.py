@@ -196,15 +196,21 @@ def run_night(pipeline, date: str, *,
     watcher = DirectoryWatcher(raw_dir + "/*.fits*", q, poll_s=poll_s,
                                preload_existing=True).start()
     t0 = time.time()
-    lat, lon = pipeline.site[0], pipeline.site[1]
+    site = pipeline.site
+    lat, lon = site[0], site[1]
+    height = site[2] if len(site) > 2 else 0.0
+    # refraction + elevation-dip adjusted horizon, as the reference's
+    # adjust_horizon (blackbox.py:403-412, 488-503)
+    from blackbox_tpu.astro.ephem import horizon_dip_deg
+    dip = horizon_dip_deg(height)
 
     def default_until():
         if max_runtime_s is not None and time.time() - t0 > max_runtime_s:
             return True
         import datetime
         mjd = datetime2mjd(datetime.datetime.now(datetime.timezone.utc))
-        # crude sunrise+margin criterion: sun high enough for long enough
-        return sun_altitude(mjd - sunrise_margin_h / 24.0, lat, lon) > 0
+        # the sun rose (above the adjusted horizon) >= margin hours ago
+        return sun_altitude(mjd - sunrise_margin_h / 24.0, lat, lon) > dip
 
     report = RunReport()
     try:

@@ -128,3 +128,12 @@ def test_match_catalogs(rng):
     i, j = match_catalogs(x, y, x + 0.3, y - 0.2, radius_pix=1.0)
     assert len(i) == 30
     np.testing.assert_array_equal(i, j)
+
+
+def test_horizon_dip():
+    """adjust_horizon parity (blackbox.py:488-503): refraction + dip."""
+    from blackbox_tpu.astro.ephem import horizon_dip_deg
+    assert abs(horizon_dip_deg(0.0) + 34.0 / 60.0) < 1e-9
+    d2000 = horizon_dip_deg(2000.0)       # La Silla-like elevation
+    assert -2.2 < d2000 < -1.8, d2000
+    assert horizon_dip_deg(4000.0) < d2000
