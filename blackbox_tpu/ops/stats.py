@@ -94,6 +94,76 @@ def sigma_clip(x, mask=None, axis=None, sigma: float = 3.0,
     return jax.lax.fori_loop(0, iters, body, mask)
 
 
+def sorted_clipped_stats(x, mask=None, sigma: float = 3.0,
+                         iters: int = 3):
+    """(median, mean, std, n) after sigma clipping — ONE sort total.
+
+    Clipping keeps values inside [center − σ·std, center + σ·std]; on
+    data sorted along the last axis that kept set is always a
+    contiguous index interval, so the iteration reduces to interval
+    bookkeeping: medians are gathers, means/stds come from prefix
+    sums, and the new bounds are rank queries (counting passes — no
+    gathers).  ``sigma_clip`` + ``masked_median`` re-sorts every
+    iteration (~4 sorts for the background mesh's 3-iteration clip);
+    this computes identical statistics (same monotone-shrinking kept
+    set, center = median, ddof=0 std) for a single sort — the
+    background mesh's dominant cost.
+
+    x    : (..., n) samples; statistics along the LAST axis
+    mask : bool like x (True = excluded) or None
+    """
+    inf = jnp.float32(jnp.inf)
+    bad = ~jnp.isfinite(x) if mask is None else (mask | ~jnp.isfinite(x))
+    xs = jnp.sort(jnp.where(bad, inf, x), axis=-1)
+    n0 = jnp.sum(~bad, axis=-1)                       # (...,) valid count
+
+    # per-slice pivot (mid element) removes the large common offset so
+    # the f32 sum-of-squares does not cancel catastrophically
+    def _take(idx):
+        v = jnp.take_along_axis(xs, idx[..., None], axis=-1)[..., 0]
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    pivot = _take(jnp.maximum(n0 - 1, 0) // 2)
+    finite = jnp.isfinite(xs)
+    xz = jnp.where(finite, xs - pivot[..., None], 0.0)   # for cumsums
+    xc = jnp.where(finite, xs - pivot[..., None], inf)   # for rank queries
+    zero = jnp.zeros(xz.shape[:-1] + (1,), xz.dtype)
+    S1 = jnp.concatenate([zero, jnp.cumsum(xz, axis=-1)], axis=-1)
+    S2 = jnp.concatenate([zero, jnp.cumsum(xz * xz, axis=-1)], axis=-1)
+
+    def _interval_stats(lo, hi):
+        k = jnp.maximum(hi - lo, 1).astype(jnp.float32)
+        med = 0.5 * (_take(lo + (hi - lo - 1) // 2)
+                     + _take(lo + (hi - lo) // 2))
+        s1 = jnp.take_along_axis(S1, hi[..., None], -1)[..., 0] \
+            - jnp.take_along_axis(S1, lo[..., None], -1)[..., 0]
+        s2 = jnp.take_along_axis(S2, hi[..., None], -1)[..., 0] \
+            - jnp.take_along_axis(S2, lo[..., None], -1)[..., 0]
+        mean = s1 / k
+        var = jnp.maximum(s2 / k - mean * mean, 0.0)
+        return med, mean + pivot, jnp.sqrt(var)
+
+    def body(_, state):
+        lo, hi = state
+        med, _, std = _interval_stats(lo, hi)
+        vlo = (med - pivot) - sigma * std             # pivot frame
+        vhi = (med - pivot) + sigma * std
+        lo2 = jnp.sum(xc < vlo[..., None], axis=-1).astype(lo.dtype)
+        hi2 = jnp.sum(xc <= vhi[..., None], axis=-1).astype(hi.dtype)
+        keep = (std == 0) | (hi - lo < 1)
+        return (jnp.where(keep, lo, jnp.maximum(lo2, lo)),
+                jnp.where(keep, hi, jnp.minimum(hi2, hi)))
+
+    lo0 = jnp.zeros(n0.shape, jnp.int32)
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo0, n0.astype(jnp.int32)))
+    med, mean, std = _interval_stats(lo, hi)
+    n = hi - lo
+    nan = jnp.float32(jnp.nan)
+    empty = n < 1
+    return (jnp.where(empty, nan, med), jnp.where(empty, nan, mean),
+            jnp.where(empty, nan, std), n)
+
+
 def sigma_clipped_mean_std(x, mask=None, axis=None, sigma: float = 3.0,
                            iters: int = 5, cenfunc: str = "mean",
                            std_ddof: int = 0):

@@ -1,0 +1,72 @@
+"""scipy.ndimage parity for the device binary-morphology ops.
+
+The reference uses binary_dilation / binary_closing / binary_fill_holes
+in mask_init and fill_sat_holes (blackbox.py:4556-4596); these are the
+golden oracles here.
+"""
+import numpy as np
+import jax.numpy as jnp
+import scipy.ndimage as ndi
+
+from blackbox_tpu.ops.morphology import (
+    binary_dilation, binary_closing, fill_holes)
+
+
+def _blobby(rng, shape=(97, 130)):
+    m = rng.random(shape) < 0.003
+    m = ndi.binary_dilation(m, np.ones((5, 5)))
+    # a ring with a hole (the fill_holes target)
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    r = np.hypot(yy - 40, xx - 60)
+    m |= (r > 8) & (r < 12)
+    # a border-touching concavity that must NOT be filled
+    m[0:3, 20:40] = True
+    return m
+
+
+def test_dilation_matches_scipy(rng):
+    m = _blobby(rng)
+    got = np.asarray(binary_dilation(jnp.asarray(m), 2))
+    ref = ndi.binary_dilation(m, np.ones((3, 3)), iterations=2)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_closing_matches_scipy(rng):
+    m = _blobby(rng)
+    got = np.asarray(binary_closing(jnp.asarray(m)))
+    ref = ndi.binary_closing(m, np.ones((3, 3)))
+    # scipy erodes with border_value=0, identical semantics interior;
+    # compare away from the 1-px border
+    np.testing.assert_array_equal(got[1:-1, 1:-1], ref[1:-1, 1:-1])
+
+
+def test_fill_holes_matches_scipy(rng):
+    m = _blobby(rng)
+    got = np.asarray(fill_holes(jnp.asarray(m), iterations=3))
+    ref = ndi.binary_fill_holes(m)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fill_holes_spiral_needs_rounds(rng):
+    """A spiral cavity exercises multi-round sweep convergence."""
+    m = np.zeros((64, 64), bool)
+    # square spiral wall
+    lo, hi = 4, 59
+    while hi - lo > 6:
+        m[lo, lo:hi] = True
+        m[lo:hi, hi] = True
+        m[hi, lo + 4:hi] = True
+        m[lo + 4:hi, lo] = True
+        lo += 4
+        hi -= 4
+    ref = ndi.binary_fill_holes(m)
+    got = np.asarray(fill_holes(jnp.asarray(m), iterations=12))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fill_holes_vmapped(rng):
+    import jax
+    ms = np.stack([_blobby(rng), _blobby(rng)])
+    got = np.asarray(jax.vmap(lambda a: fill_holes(a, 3))(jnp.asarray(ms)))
+    for k in range(2):
+        np.testing.assert_array_equal(got[k], ndi.binary_fill_holes(ms[k]))

@@ -63,3 +63,31 @@ def test_sigma_clipped_mean_recovers_center(rng):
     mean, std = stats.sigma_clipped_mean_std(jnp.asarray(x), sigma=3.0)
     assert abs(float(mean) - 50.0) < 0.2
     assert abs(float(std) - 3.0) < 0.2
+
+
+def test_sorted_clipped_stats_matches_iterative(rng):
+    """Single-sort interval clipping == iterative sigma_clip statistics."""
+    import jax.numpy as jnp
+    import numpy as np
+    from blackbox_tpu.ops.stats import (
+        sigma_clip, masked_median, masked_mean_std, sorted_clipped_stats)
+    x = rng.normal(2000.0, 6.0, (7, 257)).astype(np.float32)
+    x[:, :6] += rng.uniform(100, 900, (7, 6)).astype(np.float32)
+    mask = rng.random((7, 257)) < 0.1
+    mask[3] = True                      # an all-masked slice
+    xj, mj = jnp.asarray(x), jnp.asarray(mask)
+
+    clip = sigma_clip(xj, mask=mj, axis=-1, sigma=3.0, iters=3,
+                      cenfunc="median")
+    med_o = np.asarray(masked_median(xj, clip, axis=-1))
+    mean_o, std_o = (np.asarray(a)
+                     for a in masked_mean_std(xj, clip, axis=-1))
+    med, mean, std, n = sorted_clipped_stats(xj, mj, sigma=3.0, iters=3)
+    med, mean, std, n = (np.asarray(a) for a in (med, mean, std, n))
+
+    assert np.isnan(med[3]) and np.isnan(med_o[3])
+    ok = np.arange(7) != 3
+    np.testing.assert_allclose(med[ok], med_o[ok], rtol=0, atol=1e-3)
+    np.testing.assert_allclose(mean[ok], mean_o[ok], rtol=0, atol=2e-2)
+    np.testing.assert_allclose(std[ok], std_o[ok], rtol=2e-3, atol=2e-2)
+    assert (n[ok] == np.sum(~np.asarray(clip), -1)[ok]).all()
