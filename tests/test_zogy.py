@@ -200,3 +200,18 @@ def test_psf_to_otf_matches_padded_fft(rng):
     pad = np.roll(pad, (-(S // 2), -(S // 2)), axis=(0, 1))
     ref = np.fft.rfft2(pad)
     np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_fast_fft_size():
+    from blackbox_tpu.ops.zogy import fast_fft_size
+    assert fast_fft_size(10560) == 10752          # 2^9 * 21
+    assert fast_fft_size(10752) == 10752          # already fast
+    assert fast_fft_size(1980) == 2048
+    assert fast_fft_size(1) == 1
+    for n in (7, 100, 999, 5280, 10561):
+        m = fast_fft_size(n)
+        assert m >= n
+        odd = m
+        while odd % 2 == 0:
+            odd //= 2
+        assert odd in (1, 3, 5, 7, 11, 21), (n, m, odd)
