@@ -41,13 +41,22 @@ class DetectParams:
     nbig_max: int = 1024
 
 
-def gaussian_kernel1d(fwhm: float, radius: int | None = None):
+def gaussian_taps(fwhm: float, radius: int | None = None) -> tuple:
+    """Static Gaussian filter taps (python floats holding exact f32
+    values) — shared by the jnp and Pallas detection paths so both
+    convolve with bit-identical constants."""
+    import numpy as np
     sigma = fwhm / (2.0 * math.sqrt(2.0 * math.log(2.0)))
     if radius is None:
         radius = max(int(3 * sigma + 0.5), 1)
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / jnp.sum(k)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = (k / k.sum()).astype(np.float32)
+    return tuple(float(v) for v in k)
+
+
+def gaussian_kernel1d(fwhm: float, radius: int | None = None):
+    return jnp.asarray(gaussian_taps(fwhm, radius), jnp.float32)
 
 
 def _conv1d(image, k, axis: int):
@@ -101,13 +110,31 @@ def label_segments(det, label_iters: int = 48):
 
 
 def detect_segments(image_bksub, bkg_std, excl_mask,
-                    params: DetectParams = DetectParams()):
+                    params: DetectParams = DetectParams(),
+                    use_pallas: bool | None = None):
     """Threshold + label.  Returns (seg compact ids (H, W), n_sources).
 
     seg is 0 for background, 1..n for sources ordered by their minimum
     flattened pixel index (raster order of first pixel).
+
+    On TPU the whole chain — matched filter, threshold, label seeding,
+    all propagation iterations and the root count — runs as ONE fused
+    Pallas pass (:mod:`blackbox_tpu.pallas.detect`); the jnp path
+    below materialises each intermediate frame in HBM.
     """
     p = params
+    H, W = image_bksub.shape
+    if use_pallas is None:
+        import os
+        use_pallas = (jax.default_backend() == "tpu"
+                      and p.label_iters <= 56 and H >= 512 and W >= 512
+                      and os.environ.get("BBTPU_PALLAS_DETECT",
+                                         "1") != "0")
+    if use_pallas:
+        from blackbox_tpu.pallas.detect import fused_detect_pallas
+        return fused_detect_pallas(image_bksub, bkg_std, excl_mask,
+                                   gaussian_taps(p.fwhm_filter),
+                                   p.nsigma, iters=p.label_iters)
     filt, shrink = matched_filter(image_bksub, p.fwhm_filter)
     # SExtractor-style threshold: the filtered map is compared against
     # nsigma times the UNFILTERED background RMS (the filter shrinks the
@@ -205,10 +232,15 @@ def segment_catalog(image_bksub, bkg_std, seg, n_sources,
 
 def _window_moments(image_bksub, seg, rootval, ry, rx, win: int,
                     n_active=None, chunk: int = 2048):
-    """Windowed per-segment moments (vmapped dynamic slices, chunked
-    with early exit past ``n_active`` slots); the last return is the
-    window-truncation flag (segment touches the border)."""
-    from blackbox_tpu.ops.windows import chunked_slot_map
+    """Windowed per-segment moments; the last return is the
+    window-truncation flag (segment touches the border).
+
+    Windows are gathered up-front (Pallas DMA gather on TPU — the
+    vmapped-dynamic-slice gather was the dominant catalog-stage cost at
+    ~9 us/window, PERF_NOTES.md); the moment math then runs chunked with
+    early exit past ``n_active`` slots over the resident stacks."""
+    from blackbox_tpu.ops.windows import (chunked_slot_map,
+                                          gather_slot_windows)
     H, W = seg.shape
     # the root is a segment's topmost-then-leftmost pixel: bias the
     # window down so the blob (which extends downward) stays inside
@@ -216,9 +248,10 @@ def _window_moments(image_bksub, seg, rootval, ry, rx, win: int,
     x0 = jnp.clip(rx - win // 2, 0, W - win)
     g = jnp.arange(win, dtype=jnp.float32)
 
-    def one(k, y0i, x0i):
-        sw = jax.lax.dynamic_slice(seg, (y0i, x0i), (win, win))
-        vw = jax.lax.dynamic_slice(image_bksub, (y0i, x0i), (win, win))
+    sw_all, vw_all = gather_slot_windows((seg, image_bksub), y0, x0, win,
+                                         n_active=n_active, chunk=chunk)
+
+    def one(k, sw, vw, y0i, x0i):
         m = (sw == k) & (k > 0)
         mf = m.astype(jnp.float32)
         npix = jnp.sum(mf)
@@ -244,8 +277,8 @@ def _window_moments(image_bksub, seg, rootval, ry, rx, win: int,
         return (xc, yc, flux, npix, jnp.where(npix > 0, peak, 0.0),
                 x2, y2, xy, border & (npix > 0))
 
-    return chunked_slot_map(one, (rootval, y0, x0), n_active=n_active,
-                            chunk=chunk)
+    return chunked_slot_map(one, (rootval, sw_all, vw_all, y0, x0),
+                            n_active=n_active, chunk=chunk)
 
 
 def moments_shape(cat):

@@ -2,14 +2,14 @@
 
 Replaces the SExtractor aperture measurements the reference gets through
 zogy (`apphot_radii` in units of FWHM — set_zogy contract, SURVEY.md §2.5).
-Each source's window is fetched with a vmapped ``dynamic_slice``; fluxes
-are fractional-coverage-weighted circle sums, with errors from the
-background-STD map plus source Poisson noise (data in e-, gain 1).
+Each source's window is gathered by the Pallas DMA kernel (ops.windows.
+gather_slot_windows); fluxes are fractional-coverage-weighted circle
+sums, with errors from the background-STD map plus source Poisson noise
+(data in e-, gain 1).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
@@ -27,7 +27,8 @@ def aperture_photometry(image_bksub, bkg_std, xs, ys, radii,
 
     Returns (flux (N, R), fluxerr (N, R)).
     """
-    from blackbox_tpu.ops.windows import chunked_slot_map
+    from blackbox_tpu.ops.windows import (chunked_slot_map,
+                                          gather_slot_windows)
     H, W = image_bksub.shape
     half = window // 2
     radii = jnp.asarray(radii, jnp.float32)               # (R,)
@@ -37,11 +38,12 @@ def aperture_photometry(image_bksub, bkg_std, xs, ys, radii,
 
     dyx = jnp.arange(window, dtype=jnp.float32)
 
-    def one(x0i, y0i, xi, yi):
-        cut = jax.lax.dynamic_slice(image_bksub, (y0i, x0i),
-                                    (window, window))
-        var = jax.lax.dynamic_slice(bkg_std, (y0i, x0i),
-                                    (window, window)) ** 2
+    cut_all, sd_all = gather_slot_windows((image_bksub, bkg_std),
+                                          y0, x0, window,
+                                          n_active=n_active)
+
+    def one(cut, sd, x0i, y0i, xi, yi):
+        var = sd ** 2
         dy = dyx + y0i.astype(jnp.float32) - yi
         dx = dyx + x0i.astype(jnp.float32) - xi
         r = jnp.sqrt(dy[:, None] ** 2 + dx[None, :] ** 2)   # (w, w)
@@ -51,7 +53,8 @@ def aperture_photometry(image_bksub, bkg_std, xs, ys, radii,
         err2 = jnp.sum(covg * var[None], axis=(1, 2)) + jnp.maximum(flux, 0.0)
         return flux, jnp.sqrt(err2)
 
-    return chunked_slot_map(one, (x0, y0, xs, ys), n_active=n_active)
+    return chunked_slot_map(one, (cut_all, sd_all, x0, y0, xs, ys),
+                            n_active=n_active)
 
 
 def snr_optimal(flux, fluxerr):

@@ -129,13 +129,9 @@ def extract_vignettes(image, xs, ys, size: int, n_active=None):
     sub-pixel offsets of the true centre from the stamp centre pixel.
     Slots past ``n_active`` are skipped in chunks (ops.windows).
     """
-    from blackbox_tpu.ops.windows import chunked_slot_map
+    from blackbox_tpu.ops.windows import gather_slot_windows
     y0, x0, dx, dy = _vignette_grid(image.shape, xs, ys, size)
-
-    def one(y0i, x0i):
-        return jax.lax.dynamic_slice(image, (y0i, x0i), (size, size))
-
-    vig = chunked_slot_map(one, (y0, x0), n_active=n_active)
+    vig = gather_slot_windows(image, y0, x0, size, n_active=n_active)
     return vig, dx, dy
 
 
@@ -151,7 +147,8 @@ def build_psf(image_bksub, bkg_std, cat, image_shape,
     all (N,).  Slots past ``n_active`` skip their window gathers
     entirely (ops.windows).  Returns a :class:`PSFModel`.
     """
-    from blackbox_tpu.ops.windows import chunked_slot_map
+    from blackbox_tpu.ops.windows import (chunked_slot_map,
+                                          gather_slot_windows)
     p = params
     H, W = image_shape
     xs, ys = cat["x"], cat["y"]
@@ -163,14 +160,15 @@ def build_psf(image_bksub, bkg_std, cat, image_shape,
 
     S = p.size
     y0, x0, dx, dy = _vignette_grid(image_shape, xs, ys, S)
+    v_all, sd_all = gather_slot_windows((image_bksub, bkg_std), y0, x0, S,
+                                        n_active=n_active)
 
-    def one(y0i, x0i, dxi, dyi):
-        v = jax.lax.dynamic_slice(image_bksub, (y0i, x0i), (S, S))
-        sd = jax.lax.dynamic_slice(bkg_std, (y0i, x0i), (S, S))
+    def one(v, sd, dxi, dyi):
         varo = sd ** 2 + jnp.maximum(v, 0.0)        # bkg + Poisson [e-]
         return _recenter_one(v, dxi, dyi), varo
 
-    vig, var = chunked_slot_map(one, (y0, x0, dx, dy), n_active=n_active)
+    vig, var = chunked_slot_map(one, (v_all, sd_all, dx, dy),
+                                n_active=n_active)
 
     flux = jnp.sum(vig, axis=(1, 2))
     star = star & (flux > 0)
@@ -265,13 +263,14 @@ def psf_photometry(image_bksub, bkg_std, model: PSFModel, xs, ys,
     Slots past ``n_active`` skip their window gathers (ops.windows).
     Returns (flux, fluxerr) of shape (N,).
     """
-    from blackbox_tpu.ops.windows import chunked_slot_map
+    from blackbox_tpu.ops.windows import (chunked_slot_map,
+                                          gather_slot_windows)
     S = model.basis.shape[-1] if window is None else window
     y0, x0, dx, dy = _vignette_grid(image_bksub.shape, xs, ys, S)
+    v_all, sd_all = gather_slot_windows((image_bksub, bkg_std), y0, x0, S,
+                                        n_active=n_active)
 
-    def one(y0i, x0i, dxi, dyi, xi, yi):
-        v = jax.lax.dynamic_slice(image_bksub, (y0i, x0i), (S, S))
-        sd = jax.lax.dynamic_slice(bkg_std, (y0i, x0i), (S, S))
+    def one(v, sd, dxi, dyi, xi, yi):
         # recenter the DATA with the same bilinear shift used on the
         # vignettes that built the model: both then carry identical
         # interpolation smoothing, so the matched-filter scale is
@@ -295,5 +294,5 @@ def psf_photometry(image_bksub, bkg_std, model: PSFModel, xs, ys,
             / jnp.maximum(den, 1e-12) ** 2
         return flux, jnp.sqrt(jnp.maximum(err2, 1e-12))
 
-    return chunked_slot_map(one, (y0, x0, dx, dy, xs, ys),
+    return chunked_slot_map(one, (v_all, sd_all, dx, dy, xs, ys),
                             n_active=n_active)

@@ -56,8 +56,17 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
     if mask_ref is not None:
         bad |= (mask_ref & p.mask_reject) != 0
 
-    det = (jnp.abs(Scorr) > p.nsigma) & ~bad
-    seg, n = label_segments(det, p.label_iters)
+    import os
+    if (jax.default_backend() == "tpu" and p.label_iters <= 64
+            and H >= 512 and W >= 512
+            and os.environ.get("BBTPU_PALLAS_DETECT", "1") != "0"):
+        # fused |Scorr| threshold + labeling in one Pallas pass
+        from blackbox_tpu.pallas.detect import fused_detect_pallas
+        seg, n = fused_detect_pallas(Scorr, None, bad, None, p.nsigma,
+                                     iters=p.label_iters, absval=True)
+    else:
+        det = (jnp.abs(Scorr) > p.nsigma) & ~bad
+        seg, n = label_segments(det, p.label_iters)
 
     # windowed per-segment moments (see detection.segment_catalog: the
     # global scatter reductions cost ~9 s/frame on TPU, windows ~0.1 s)
@@ -69,9 +78,12 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
     x0 = jnp.clip(root % W - win // 2, 0, W - win)
     g = jnp.arange(win, dtype=jnp.float32)
 
-    def one(k, y0i, x0i):
-        sw = jax.lax.dynamic_slice(seg, (y0i, x0i), (win, win))
-        sv = jax.lax.dynamic_slice(Scorr, (y0i, x0i), (win, win))
+    from blackbox_tpu.ops.windows import (chunked_slot_map,
+                                          gather_slot_windows)
+    sw_all, sv_all = gather_slot_windows((seg, Scorr), y0, x0, win,
+                                         n_active=n, chunk=256)
+
+    def one(k, sw, sv, y0i, x0i):
         m = (sw == k) & (k > 0)
         mf = m.astype(jnp.float32)
         av = jnp.abs(sv)
@@ -120,10 +132,9 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
     # chunked with early exit: a typical Scorr map yields tens-to-
     # hundreds of candidates against the 2000-slot capacity (see
     # ops.windows); skipped slots zero-fill and fail the in_range vet
-    from blackbox_tpu.ops.windows import chunked_slot_map
     (npix, wsum, wx, wy, x2c, y2c, xyc, peak_abs, pos_sum, neg_sum,
      peak_idx, truncated) = chunked_slot_map(
-        one, (rootval, y0, x0), n_active=n, chunk=256)
+        one, (rootval, sw_all, sv_all, y0, x0), n_active=n, chunk=256)
     # prepend the background bucket so slot arithmetic below matches
     # the old 1-indexed layout
     pad0f = lambda v: jnp.concatenate([jnp.zeros((1,), v.dtype), v])  # noqa

@@ -23,6 +23,46 @@ import jax
 import jax.numpy as jnp
 
 
+def gather_slot_windows(images, y0, x0, size: int, n_active=None,
+                        chunk: int = 2048, use_pallas: bool | None = None):
+    """Gather (N, size, size) windows from each (H, W) image at shared
+    start coordinates (clipped like ``lax.dynamic_slice``).
+
+    On TPU the windows are fetched by the Pallas DMA kernel
+    (:mod:`blackbox_tpu.pallas.gather`) — one strided async copy per
+    window, a block of them in flight per grid step — instead of the
+    ~9 us/window XLA gather a vmapped ``dynamic_slice`` lowers to
+    (PERF_NOTES.md).  Slots past ``n_active`` are skipped in blocks and
+    return zeros.  Both paths return exact pixel copies.
+
+    images : one (H, W) array or a tuple of them (shared shape).
+    Returns the stack, or a tuple of stacks matching ``images``.
+    """
+    single = not isinstance(images, (tuple, list))
+    imgs = (images,) if single else tuple(images)
+    H, W = imgs[0].shape
+    if use_pallas is None:
+        import os
+        use_pallas = (jax.default_backend() == "tpu"
+                      and os.environ.get("BBTPU_PALLAS_GATHER",
+                                         "1") != "0")
+    if use_pallas:
+        from blackbox_tpu.pallas.gather import gather_windows
+        outs = gather_windows(imgs, y0, x0, size, n_active=n_active)
+    else:
+        y0c = jnp.clip(y0.astype(jnp.int32), 0, H - size)
+        x0c = jnp.clip(x0.astype(jnp.int32), 0, W - size)
+
+        def one(y0i, x0i):
+            return tuple(
+                jax.lax.dynamic_slice(im, (y0i, x0i), (size, size))
+                for im in imgs)
+
+        outs = chunked_slot_map(one, (y0c, x0c), n_active=n_active,
+                                chunk=chunk)
+    return outs[0] if single else outs
+
+
 def chunked_slot_map(fn, args, n_active=None, chunk: int = 2048):
     """``jax.vmap(fn)(*args)`` over the leading slot axis, skipping
     chunks of slots whose start index is ``>= n_active``.
