@@ -46,9 +46,19 @@ class ZogyParams:
     # statistic (wraparound sees zeros instead of the opposite edge);
     # it lies inside the EDGE mask either way.
     pad_fast: bool = True
+    # Pack PAIRS of real transforms into single complex transforms:
+    # fft2(new + i·ref) carries both forward spectra (unpacked by
+    # hermitian symmetry), and every pair of real inverse transforms
+    # rides one ifft2 as its real/imaginary parts.  The chain is
+    # transform-bound, so if a complex fft2 costs anywhere below 2x an
+    # rfft2 this wins: the production 6-transform chain becomes 3
+    # complex transforms (the variance-map 8 becomes 4).  Exact
+    # algebra; the unpacking subtraction loses at most ~1e-7 relative
+    # precision where one spectrum dwarfs the other.
+    pack_fft: bool = False
 
 
-def psf_to_otf(psf_stamp, shape):
+def psf_to_otf(psf_stamp, shape, full: bool = False):
     """OTF of a centred (S, S) PSF stamp on an (H, W) frame grid.
 
     Mathematically identical to zero-padding the stamp to the frame,
@@ -57,6 +67,13 @@ def psf_to_otf(psf_stamp, shape):
     a 25-px-support function is two small separable complex matmuls
     (MXU, ~1 ms):  OTF[u, v] = Σ_yx psf[y,x]·e^(-2πi·u(y-c)/H)
     ·e^(-2πi·v(x-c)/W).
+
+    full=False returns the rfft half plane (W//2+1 columns); full=True
+    the complete W-column spectrum (the ``pack_fft`` representation),
+    built by EXACT hermitian mirroring of the half plane — evaluating
+    the exponentials at the mirrored frequencies directly would be
+    hermitian only to f32 rounding, and that anti-hermitian residue
+    cross-talks between the two real signals sharing a packed ifft2.
     """
     H, W = shape
     S = psf_stamp.shape[-1]
@@ -64,12 +81,22 @@ def psf_to_otf(psf_stamp, shape):
     u = jnp.arange(H, dtype=jnp.float32)[:, None]        # (H, 1)
     y = (jnp.arange(S, dtype=jnp.float32) - c)[None, :]  # (1, S)
     Ey = jnp.exp(-2j * jnp.pi / H * (u * y))             # (H, S)
-    v = jnp.arange(W // 2 + 1, dtype=jnp.float32)[None, :]
+    ncol = W // 2 + 1
+    v = jnp.arange(ncol, dtype=jnp.float32)[None, :]
     x = (jnp.arange(S, dtype=jnp.float32) - c)[:, None]
-    Ex = jnp.exp(-2j * jnp.pi / W * (x * v))             # (S, Wr)
+    Ex = jnp.exp(-2j * jnp.pi / W * (x * v))             # (S, ncol)
     mid = jnp.matmul(psf_stamp.astype(jnp.complex64), Ex,
-                     precision="highest")                # (S, Wr)
-    return jnp.matmul(Ey, mid, precision="highest")      # (H, Wr)
+                     precision="highest")                # (S, ncol)
+    half = jnp.matmul(Ey, mid, precision="highest")      # (H, ncol)
+    return hermitian_full(half, W) if full else half
+
+
+def hermitian_full(half, W: int):
+    """Expand an rfft half plane (H, W//2+1) to the full W-column
+    spectrum of a real signal: A(u, c) = conj(A(-u, W-c)), bit-exact."""
+    tail = jnp.conj(half[:, W - half.shape[1]:0:-1])     # cols W-1..Wr
+    tail = jnp.roll(tail[::-1, :], 1, 0)                 # row u -> -u
+    return jnp.concatenate([half, tail], axis=1)
 
 
 def fast_fft_size(n: int) -> int:
@@ -90,7 +117,8 @@ def fast_fft_size(n: int) -> int:
     return best
 
 
-def _kernel_sq_otfs(psf_new, psf_ref, fn, fr, sn, sr, eps, K, shape):
+def _kernel_sq_otfs(psf_new, psf_ref, fn, fr, sn, sr, eps, K, shape,
+                    full: bool = False):
     """Full-frame spectra of k_n², k_r² from K×K aliased kernel stamps.
 
     k_n/k_r sample a continuous frequency response (ratios of the PSF
@@ -111,7 +139,8 @@ def _kernel_sq_otfs(psf_new, psf_ref, fn, fr, sn, sr, eps, K, shape):
     # to (K//2, K//2), the centre convention psf_to_otf expects
     kn2 = jnp.fft.fftshift(kn) ** 2
     kr2 = jnp.fft.fftshift(kr) ** 2
-    return psf_to_otf(kn2, shape), psf_to_otf(kr2, shape)
+    return (psf_to_otf(kn2, shape, full=full),
+            psf_to_otf(kr2, shape, full=full))
 
 
 def _freq_grids(shape):
@@ -174,10 +203,36 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
         var_new = None if var_new is None else _pad(var_new)
         var_ref = None if var_ref is None else _pad(var_ref)
 
-    N_hat = jnp.fft.rfft2(new)
-    R_hat = jnp.fft.rfft2(ref)
-    Pn = psf_to_otf(psf_new, shape)
-    Pr = psf_to_otf(psf_ref, shape)
+    pack = p.pack_fft
+
+    def _fwd_pair(a, b):
+        """Forward spectra of two real frames: one complex fft2 when
+        packing (unpacked by hermitian symmetry), two rfft2 otherwise."""
+        if not pack:
+            return jnp.fft.rfft2(a), jnp.fft.rfft2(b)
+        Z = jnp.fft.fft2(a + 1j * b)
+        # Z(-k): reverse both axes with wraparound of the zero freq
+        Zc = jnp.conj(jnp.roll(jnp.flip(Z, (0, 1)), (1, 1), (0, 1)))
+        return 0.5 * (Z + Zc), -0.5j * (Z - Zc)
+
+    def _inv_pair(A, B):
+        """Two real inverse transforms as one complex ifft2 when
+        packing (A, B hermitian — real outputs ride re/im)."""
+        if not pack:
+            return (jnp.fft.irfft2(A, shape), jnp.fft.irfft2(B, shape))
+        Y = jnp.fft.ifft2(A + 1j * B)
+        return jnp.real(Y), jnp.imag(Y)
+
+    def _inv_one(A):
+        """Single real inverse: slice the packed full plane down to the
+        rfft half plane (hermitian spectra carry no extra information)."""
+        if pack:
+            A = A[:, :Wp // 2 + 1]
+        return jnp.fft.irfft2(A, shape)
+
+    N_hat, R_hat = _fwd_pair(new, ref)
+    Pn = psf_to_otf(psf_new, shape, full=pack)
+    Pr = psf_to_otf(psf_ref, shape, full=pack)
 
     fn = jnp.float32(fn)
     fr = jnp.maximum(jnp.float32(fr), p.fratio_floor)
@@ -189,31 +244,42 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     den = sn ** 2 * fr ** 2 * Pr2 + sr ** 2 * fn ** 2 * Pn2 + p.eps
     sq = jnp.sqrt(den)
 
-    # difference image (eq. 13) and its PSF (eq. 14-15)
+    # difference image (eq. 13) and its PSF (eq. 14-15); the inverse
+    # transform of D̂ is deferred so it can share a packed ifft2 with
+    # whichever variance spectrum the variance path produces
     D_hat = (fr * Pr * N_hat - fn * Pn * R_hat) / sq
     F_D = fn * fr / jnp.sqrt(sn ** 2 * fr ** 2 + sr ** 2 * fn ** 2)
     P_D_hat = fn * fr * Pn * Pr / (F_D * sq)
-    D = jnp.fft.irfft2(D_hat, shape)
 
     # matched-filter kernels k_n, k_r (eq. 26-29)
     kn_hat = fn * fr ** 2 * jnp.conj(Pn) * Pr2 / den
     kr_hat = fr * fn ** 2 * jnp.conj(Pr) * Pn2 / den
 
-    # rfft half-plane column weights for full-spectrum Parseval sums
-    Wr = Pn2.shape[-1]
-    colw = jnp.full((Wr,), 2.0, jnp.float32)
-    colw = colw.at[0].set(1.0)
-    if Wp % 2 == 0:
-        colw = colw.at[-1].set(1.0)
+    if pack:
+        def _spec_mean(x):
+            return jnp.sum(x) / (Hp * Wp)
+    else:
+        # rfft half-plane column weights for full-spectrum sums: the
+        # interior columns appear once but stand for two
+        Wr = Pn2.shape[-1]
+        colw = jnp.full((Wr,), 2.0, jnp.float32)
+        colw = colw.at[0].set(1.0)
+        if Wp % 2 == 0:
+            colw = colw.at[-1].set(1.0)
+
+        def _spec_mean(x):
+            return jnp.sum(colw * x) / (Hp * Wp)
 
     def _k2_hats():
         K = params.kernel_stamp
         if K and K < min(H, W):
             return _kernel_sq_otfs(
-                psf_new, psf_ref, fn, fr, sn, sr, p.eps, K, shape)
-        return (jnp.fft.rfft2(jnp.fft.irfft2(kn_hat, shape) ** 2),
-                jnp.fft.rfft2(jnp.fft.irfft2(kr_hat, shape) ** 2))
+                psf_new, psf_ref, fn, fr, sn, sr, p.eps, K, shape,
+                full=pack)
+        kn, kr = _inv_pair(kn_hat, kr_hat)
+        return _fwd_pair(kn ** 2, kr ** 2)
 
+    D = None
     if var_new is not None or var_ref is not None:
         kn2_hat, kr2_hat = _k2_hats()
         # variance maps are clamped: the float32 FFT loses ~7 digits,
@@ -224,13 +290,14 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
               else jnp.clip(var_new, 0.0, vcap))
         Vr = (sr ** 2 * jnp.ones(shape, jnp.float32) if var_ref is None
               else jnp.clip(var_ref, 0.0, vcap))
-        # one merged back-transform: irfft2 is linear in its operand
-        V_src = jnp.fft.irfft2(kn2_hat * jnp.fft.rfft2(Vn)
-                               + kr2_hat * jnp.fft.rfft2(Vr), shape)
+        # one merged back-transform (linearity), sharing a packed
+        # inverse with D
+        Vn_hat, Vr_hat = _fwd_pair(Vn, Vr)
+        D, V_src = _inv_pair(D_hat, kn2_hat * Vn_hat + kr2_hat * Vr_hat)
     else:
         # Σk² Parseval sums cover the (smooth or scalar) background term
-        sum_kn2 = jnp.sum(colw * jnp.abs(kn_hat) ** 2) / (Hp * Wp)
-        sum_kr2 = jnp.sum(colw * jnp.abs(kr_hat) ** 2) / (Hp * Wp)
+        sum_kn2 = _spec_mean(jnp.abs(kn_hat) ** 2)
+        sum_kr2 = _spec_mean(jnp.abs(kr_hat) ** 2)
         vbn = sn ** 2 if var_bkg_new is None else var_bkg_new
         vbr = sr ** 2 if var_bkg_ref is None else var_bkg_ref
         if getattr(vbn, "ndim", 0) == 2 and vbn.shape != shape:
@@ -240,18 +307,19 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
         V_src = vbn * sum_kn2 + vbr * sum_kr2
         if var_bkg_new is not None or var_bkg_ref is not None:
             # Poisson source term from the images' own spectra: one
-            # merged inverse transform, rectified post-convolution
+            # merged inverse transform (sharing a packed ifft2 with D),
+            # rectified post-convolution
             kn2_hat, kr2_hat = _k2_hats()
-            src = jnp.fft.irfft2(kn2_hat * N_hat + kr2_hat * R_hat,
-                                 shape)
+            D, src = _inv_pair(D_hat, kn2_hat * N_hat + kr2_hat * R_hat)
             V_src = V_src + jnp.maximum(src, 0.0)
+    if D is None:
+        D = _inv_one(D_hat)
 
     # astrometric variance (eq. 30-33): gradients of S_n = k_n ⊗ N,
     # S_r = k_r ⊗ R, scaled by the registration rms.  Real-space
     # centred differences (the reference's np.gradient) cost two
     # inverse FFTs instead of four spectral derivatives.
-    Sn = jnp.fft.irfft2(kn_hat * N_hat, shape)
-    Sr = jnp.fft.irfft2(kr_hat * R_hat, shape)
+    Sn, Sr = _inv_pair(kn_hat * N_hat, kr_hat * R_hat)
 
     # score image S = F_D·(D ⊛ P_D-reversed) (eq. 16-17).  Exact
     # algebra: Ŝ = F_D P̂_D* D̂ = k̂_n N̂ − k̂_r R̂, so S = S_n − S_r
@@ -275,7 +343,7 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     # over the FULL spectrum; the rfft half-plane stores interior
     # columns once, so they count twice (DC column, and the Nyquist
     # column for even W, appear exactly once) — colw from above.
-    F_S = jnp.sum(colw * fn ** 2 * fr ** 2 * Pn2 * Pr2 / den) / (Hp * Wp)
+    F_S = _spec_mean(fn ** 2 * fr ** 2 * Pn2 * Pr2 / den)
     F_S = jnp.maximum(F_S, p.eps)
     Fpsf = S / F_S
     Fpsferr = jnp.sqrt(jnp.maximum(V_S, p.eps)) / F_S
@@ -289,7 +357,7 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     if want_psf_d:
         # difference PSF stamp for thumbnail/vetting use
         Spsf = psf_new.shape[-1]
-        psf_D_full = jnp.fft.irfft2(P_D_hat, shape)
+        psf_D_full = _inv_one(P_D_hat)
         out["psf_D"] = jnp.roll(psf_D_full, (Spsf // 2, Spsf // 2),
                                 axis=(0, 1))[:Spsf, :Spsf]
     return out

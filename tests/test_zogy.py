@@ -215,3 +215,39 @@ def test_fast_fft_size():
         while odd % 2 == 0:
             odd //= 2
         assert odd in (1, 3, 5, 7, 11, 21), (n, m, odd)
+
+
+def test_zogy_pack_fft_matches_unpacked(rng):
+    """pack_fft=True (pairs of real transforms on one complex FFT) is
+    the same statistic: exact algebra up to f32 packing round-off."""
+    new, ref, sn, sr = _scene(rng)
+    pn = jnp.asarray(_gauss_psf(25, 3.2))
+    pr = jnp.asarray(_gauss_psf(25, 2.6))
+    H, W = new.shape
+    vb_n = np.full((H, W), sn ** 2, np.float32) * \
+        (1.0 + 0.1 * rng.uniform(size=(H, W)).astype(np.float32))
+    vb_r = np.full((H, W), sr ** 2, np.float32)
+    vn = vb_n + np.maximum(new, 0.0)
+    vr = vb_r + np.maximum(ref, 0.0)
+
+    cases = [
+        dict(),                                              # scalar
+        dict(var_bkg_new=jnp.asarray(vb_n),                  # bkg+Poisson
+             var_bkg_ref=jnp.asarray(vb_r)),
+        dict(var_new=jnp.asarray(vn), var_ref=jnp.asarray(vr)),  # varmap
+    ]
+    for kw in cases:
+        a = zogy_subtract(jnp.asarray(new), jnp.asarray(ref), pn, pr,
+                          sn, sr, params=ZogyParams(pack_fft=False),
+                          **kw)
+        b = zogy_subtract(jnp.asarray(new), jnp.asarray(ref), pn, pr,
+                          sn, sr, params=ZogyParams(pack_fft=True),
+                          **kw)
+        for key in ("D", "S", "Scorr", "Fpsf", "psf_D"):
+            x, y = np.asarray(a[key]), np.asarray(b[key])
+            scale = max(np.abs(x).max(), 1e-6)
+            np.testing.assert_allclose(y, x, atol=2e-4 * scale,
+                                       rtol=2e-4,
+                                       err_msg=f"{key} {kw.keys()}")
+        np.testing.assert_allclose(float(b["F_S"]), float(a["F_S"]),
+                                   rtol=1e-4)
