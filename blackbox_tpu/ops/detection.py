@@ -126,10 +126,18 @@ def detect_segments(image_bksub, bkg_std, excl_mask,
     H, W = image_bksub.shape
     if use_pallas is None:
         import os
+        # OPT-IN (BBTPU_PALLAS_DETECT=1): the fused kernel is only ~7 ms
+        # faster than this jnp path at 10.5k² (69.6 vs 76.7 ms — XLA
+        # fuses matched+threshold, and labeling already runs the Pallas
+        # labelprop kernel), and with taps+std+excl together its live
+        # set exceeds Mosaic's 16 MB scoped-VMEM stack: the v5e compile
+        # either fails "Ran out of memory in memory space vmem" or,
+        # near the limit, SILENTLY MISCOMPILES (measured 336k roots vs
+        # 3992 at full scale; every feature is bit-exact in isolation)
         use_pallas = (jax.default_backend() == "tpu"
                       and p.label_iters <= 56 and H >= 512 and W >= 512
                       and os.environ.get("BBTPU_PALLAS_DETECT",
-                                         "1") != "0")
+                                         "0") == "1")
     if use_pallas:
         from blackbox_tpu.pallas.detect import fused_detect_pallas
         return fused_detect_pallas(image_bksub, bkg_std, excl_mask,

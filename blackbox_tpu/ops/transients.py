@@ -57,9 +57,14 @@ def extract_transients(zogy_out, mask_new=None, mask_ref=None,
         bad |= (mask_ref & p.mask_reject) != 0
 
     import os
+    # OPT-IN like detection.detect_segments (BBTPU_PALLAS_DETECT=1):
+    # this instantiation (no taps, no std map) stayed bit-exact on chip,
+    # but the kernel family silently miscompiles near the Mosaic
+    # scoped-VMEM stack limit and the measured gain is ~10 ms — see
+    # detection.py
     if (jax.default_backend() == "tpu" and p.label_iters <= 64
             and H >= 512 and W >= 512
-            and os.environ.get("BBTPU_PALLAS_DETECT", "1") != "0"):
+            and os.environ.get("BBTPU_PALLAS_DETECT", "0") == "1"):
         # fused |Scorr| threshold + labeling in one Pallas pass
         from blackbox_tpu.pallas.detect import fused_detect_pallas
         seg, n = fused_detect_pallas(Scorr, None, bad, None, p.nsigma,

@@ -43,9 +43,17 @@ def gather_slot_windows(images, y0, x0, size: int, n_active=None,
     H, W = imgs[0].shape
     if use_pallas is None:
         import os
+        # OPT-IN (BBTPU_PALLAS_GATHER=1): on a real v5e the DMA kernel
+        # is bit-exact but NOT faster at production catalog sizes —
+        # 43.2 ms vs ~33 ms chunked dynamic_slice for 4k live windows
+        # (48², 3 images; dynslice measures 2.7 us/window-image dense,
+        # not the 9 us the kernel was built against) — the per-window
+        # DMA issue + in-VMEM rotate costs about what the XLA gather
+        # does.  Kept for frames with very large live catalogs, where
+        # block-skipping beats dense gathers.
         use_pallas = (jax.default_backend() == "tpu"
                       and os.environ.get("BBTPU_PALLAS_GATHER",
-                                         "1") != "0")
+                                         "0") == "1")
     if use_pallas:
         from blackbox_tpu.pallas.gather import gather_windows
         outs = gather_windows(imgs, y0, x0, size, n_active=n_active)

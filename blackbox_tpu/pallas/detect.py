@@ -19,6 +19,17 @@ Tap order, threshold math and propagation semantics replicate
 :mod:`blackbox_tpu.pallas.labelprop` for the wrap-corruption argument).
 The reference runs SExtractor's C filter/threshold/deblend scan for this
 (via zogy's run_sextractor — SURVEY.md §2.4).
+
+STATUS: opt-in only (``BBTPU_PALLAS_DETECT=1``).  Measured on a real
+v5e, the fusion saves just ~7 ms over the jnp chain (69.6 vs 76.7 ms at
+10.5k² — XLA fuses matched+threshold and labeling already runs the
+Pallas labelprop kernel), and with taps+std+excl enabled together the
+kernel's live set exceeds Mosaic's 16 MB scoped-VMEM stack: compiles
+either fail ("Ran out of memory in memory space vmem ... should not be
+possible") or, right at the limit, SILENTLY MISCOMPILE (336k roots vs
+3992 at full scale, while each feature in isolation is bit-exact on
+chip).  Until the kernel is restructured to shrink peak liveness, the
+default path stays jnp + labelprop.
 """
 
 from __future__ import annotations
@@ -102,7 +113,9 @@ def _detect_kernel(*refs, has_std, has_excl, taps, absval, nsigma,
         thrmap = jnp.float32(nsigma)
     det = x > thrmap
     if t_excl is not None:
-        det = det & (t_excl[:] == 0)
+        # int8 vector cmpi is unsupported on v5e Mosaic ("Target does
+        # not support this comparison") — widen before comparing
+        det = det & (t_excl[:].astype(jnp.int32) == 0)
 
     # global flat index labels in ORIGINAL (unpadded) coordinates; the
     # filtered map can spill past the original frame border into the
@@ -129,7 +142,10 @@ def _detect_kernel(*refs, has_std, has_excl, taps, absval, nsigma,
     lab_i = lab[halo:halo + th, LANE_HALO:LANE_HALO + tw]
     flat_i = flat[halo:halo + th, LANE_HALO:LANE_HALO + tw]
     seg_out[:] = jnp.where(det_i, lab_i, 0)
-    cnt_out[0, 0] = jnp.sum((det_i & (lab_i == flat_i)).astype(jnp.int32))
+    # cnt_out is the whole (grid_h, grid_w) SMEM array (Mosaic rejects
+    # sub-(8,128) blocks; a full-array block is always legal) — each
+    # sequential grid step writes its own element exactly once
+    cnt_out[i, j] = jnp.sum((det_i & (lab_i == flat_i)).astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -193,7 +209,7 @@ def fused_detect_pallas(image, bkg_std, excl, taps, nsigma: float,
         out_specs=(
             pl.BlockSpec((th, tw), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j),
+            pl.BlockSpec(grid, lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(

@@ -64,13 +64,24 @@ def _prop_kernel(lab_hbm, out_ref, t_lab, sem, *, th, tw, halo, iters,
     lab0 = t_lab[:]
     bigv = jnp.int32(big)
 
-    def body(_, lab):
+    def cond(c):
+        i, _, changed = c
+        return jnp.logical_and(i < iters, changed)
+
+    def body(c):
+        i, lab, _ = c
         m = _min3(_min3(lab, 0), 1)
         # re-gate background from the resident input tile: background
         # pixels hold BIG and must never adopt a neighbour's label
-        return jnp.where(lab0 >= bigv, bigv, m)
+        new = jnp.where(lab0 >= bigv, bigv, m)
+        # early exit once the tile converges: extra iterations are
+        # no-ops, so this is exactly equivalent to running all of them;
+        # typical tiles settle in ~an object diameter (<10 iters), so
+        # the check (~one compare+reduce) pays for itself several-fold
+        return (i + 1, new, jnp.any(new != lab))
 
-    lab = jax.lax.fori_loop(0, iters, body, lab0)
+    _, lab, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), lab0, jnp.bool_(True)))
     out_ref[:] = lab[halo:halo + th, LANE_HALO:LANE_HALO + tw]
 
 
