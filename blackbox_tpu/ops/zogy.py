@@ -55,7 +55,11 @@ class ZogyParams:
     # complex transforms (the variance-map 8 becomes 4).  Exact
     # algebra; the unpacking subtraction loses at most ~1e-7 relative
     # precision where one spectrum dwarfs the other.
-    pack_fft: bool = False
+    # Measured on v5e at 10752²: complex roundtrip = 1.20x a real one
+    # (130.6 vs 108.9 ms) -> pair 290.6 -> 271.2 ms; interior
+    # max|dScorr| vs unpacked = 2.7e-3 at sigma=1 (threshold is 6
+    # sigma, so detection flips are negligible).
+    pack_fft: bool = True
 
 
 def psf_to_otf(psf_stamp, shape, full: bool = False):
