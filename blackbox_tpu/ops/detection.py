@@ -158,19 +158,49 @@ def detect_segments(image_bksub, bkg_std, excl_mask,
 def segment_roots(seg, max_sources: int):
     """Flat raster index of the k-th segment's first (root) pixel.
 
-    Scatter-free: segment labels are root flat indices, so each
-    label's first raster occurrence IS its root and roots appear in
-    increasing raster order — the running maximum of the seg map jumps
-    exactly at the roots, and ``searchsorted`` on the cumsum of those
-    jumps finds every root at once.
+    Scatter-free: segment labels are root flat indices, so a pixel is a
+    root iff ``seg == its own flat index + 1``, and roots appear in
+    raster order.  The compaction is hierarchical to avoid any
+    full-frame 1-D scan (a flat ``cummax``+``cumsum`` over the 111 Mpx
+    costs 115 ms on a v5e — the scans, not the windows, dominated the
+    whole catalog stage): one axis-1 ``cumsum`` ranks roots within each
+    row (independent short scans, vectorised across rows), a tiny (H,)
+    cumsum locates the k-th root's row, and a 14-step vectorised binary
+    search over that row's rank finds its column.
+
+    For k past the last segment every level clamps to its end, so the
+    returned index degrades to ``H*W - 1`` exactly like the old
+    ``searchsorted`` clip; callers gate on ``k <= n_sources``.
     """
-    s = seg.ravel()
-    cm = jax.lax.cummax(s)
-    prev = jnp.concatenate([jnp.zeros((1,), cm.dtype), cm[:-1]])
-    order = jnp.cumsum((cm > prev).astype(jnp.int32))
+    H, W = seg.shape
+    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W) + 1
+    root = seg == idx                              # root-pixel mask
+    rowcum = jnp.cumsum(root.astype(jnp.int32), axis=1)   # in-row rank
+    counts = rowcum[:, -1]                         # roots per row
+    before = jnp.cumsum(counts)                    # (H,) tiny scan
     ks = jnp.arange(1, max_sources + 1, dtype=jnp.int32)
-    return jnp.clip(jnp.searchsorted(order, ks, side="left"),
-                    0, s.shape[0] - 1)
+    row = jnp.searchsorted(before, ks, side="left")
+    rowc = jnp.clip(row, 0, H - 1).astype(jnp.int32)
+    prev = jnp.where(rowc > 0, before[jnp.maximum(rowc - 1, 0)], 0)
+    j = ks - prev                                  # 1-indexed in-row rank
+
+    # smallest c with rowcum[rowc, c] >= j (binary search, all slots at
+    # once; each step is one (max_sources,) gather)
+    nbits = max(1, (W - 1).bit_length())
+    lo = jnp.zeros_like(ks)
+    hi = jnp.full_like(ks, W - 1)
+
+    def step(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        v = rowcum[rowc, mid]
+        ge = v >= j
+        return (jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi))
+
+    lo, _ = jax.lax.fori_loop(0, nbits, step, (lo, hi))
+    # k past the last root walks lo to W in the last row; clamp to the
+    # old searchsorted-clip behaviour (H*W - 1)
+    return jnp.clip(rowc * W + lo, 0, H * W - 1)
 
 
 def segment_catalog(image_bksub, bkg_std, seg, n_sources,

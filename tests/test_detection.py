@@ -151,3 +151,27 @@ def test_moments_exact_at_large_coordinates():
     # symmetric gaussian: elongation ~1, fwhm ~3 px
     assert float(cat["elong"][k]) < 1.05, float(cat["elong"][k])
     assert abs(float(cat["fwhm"][k]) - 3.0) < 0.6, float(cat["fwhm"][k])
+
+
+def test_segment_roots_matches_raster_oracle(rng):
+    """segment_roots == flat indices of root pixels in raster order,
+    clamped to H*W-1 past the last segment (reference semantics: the
+    k-th SExtractor object's first scanned pixel — blackbox consumes
+    label counts via scipy.ndimage, /root/reference/blackbox.py:4343)."""
+    from blackbox_tpu.ops.detection import segment_roots
+    from blackbox_tpu.ops.labeling import label_components
+
+    H, W = 160, 224
+    det = rng.random((H, W)) < 0.02
+    # a few blobs so multi-pixel segments exist
+    for (y, x) in [(10, 10), (80, 120), (150, 200)]:
+        det[y:y + 4, x:x + 5] = True
+    seg_lab = label_components(jnp.asarray(det), iters=16)
+    seg = np.asarray(jnp.where(jnp.asarray(det), seg_lab, 0))
+
+    idx = np.arange(H * W).reshape(H, W) + 1
+    oracle = np.flatnonzero((seg == idx) & (seg > 0))
+    cap = len(oracle) + 7                    # force the k > n tail
+    got = np.asarray(segment_roots(jnp.asarray(seg), cap))
+    np.testing.assert_array_equal(got[:len(oracle)], oracle)
+    assert (got[len(oracle):] == H * W - 1).all()
