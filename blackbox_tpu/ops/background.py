@@ -90,16 +90,26 @@ def _catmull_rom_matrix(n_out: int, n_mesh: int, boxsize: int) -> np.ndarray:
     return W
 
 
-def mini2back(mesh, out_shape, boxsize: int):
+def mini2back(mesh, out_shape, boxsize: int, use_pallas: bool | None = None):
     """Bicubic upsample of a background mesh to full resolution.
 
-    Two dense matmuls: ``Wy @ mesh @ Wx.T`` with precomputed Catmull-Rom
-    weight matrices (host-built, shape (H, ny) and (W, nx)).
+    ``Wy @ mesh @ Wx.T`` with precomputed Catmull-Rom weight matrices
+    (host-built, shape (H, ny) and (W, nx)).  The XLA matmul pair costs
+    ~27.5 ms per 10.5k² call on v5e — identical across matmul
+    precisions, so not MXU-pass-bound; a Pallas per-tile version
+    (:mod:`blackbox_tpu.pallas.upsample`) is bit-identical but SLOWER
+    (45.2 ms: per-tile K=41 matmuls pipeline worse than one big one),
+    so the matmul stays the default; ``use_pallas=True`` opts in.
     """
     H, W = out_shape
     ny, nx = mesh.shape
     Wy = jnp.asarray(_catmull_rom_matrix(H, ny, boxsize))
     Wx = jnp.asarray(_catmull_rom_matrix(W, nx, boxsize))
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from blackbox_tpu.pallas.upsample import upsample_mesh_pallas
+        return upsample_mesh_pallas((mesh,), Wy, Wx, (H, W))[0]
     # full-precision matmuls: the background must be sub-ADU accurate
     # (bf16 MXU default would leave ~0.4% * sky-level errors)
     up = jnp.matmul(Wy, mesh, precision="highest")
