@@ -40,6 +40,14 @@ class SatDetParams:
     lit_sigma: float = 2.0
     trail_halfwidth: int = 5     # half-width of the rasterised trail mask
     max_trails: int = 8          # static cap on detected trails
+    band_widths: tuple = (1, 5, 15)
+    # offset-band integration widths: the angle grid resolves ~N·Δθ
+    # pixels of drift, so a LONG trail midway between grid angles
+    # smears its energy over ~L·Δθ/2 offset bins (14 bins for a
+    # full-diagonal MeerLICHT trail at bin 8) — the single-line lit
+    # fraction then collapses and the trail is lost.  Summing the
+    # profiles over a band of w offsets recovers it at only a sqrt(w)
+    # SNR price; each (angle, offset) keeps the best band.
 
 
 def _bin2d(img, f: int):
@@ -56,13 +64,23 @@ def _bin2d(img, f: int):
     return s / jnp.float32(f * f)
 
 
-def _radon_fft(stack, n_angles: int):
+def _radon_fft(stack, n_angles: int, pack: bool = False):
     """Radon transform by the projection-slice theorem.
 
     stack : (B, Hb, Wb) real maps (zero background assumed)
     Returns (projections (B, n_angles, N), angles (n_angles,)), where
     projection[b, j, t] integrates stack[b] along the line
     ``(x-cx)·cosθ_j + (y-cy)·sinθ_j = t - N/2`` (x = column, y = row).
+
+    With ``pack=True`` PAIRS of real maps ride one complex ``fft2``
+    each (``a + i·b``), separated at the slice taps by hermitian
+    symmetry — bilinear interpolation with mod-N taps commutes exactly
+    with the conjugate mirror, so unpacking after sampling equals
+    sampling the unpacked spectra (parity-tested).  Packing is OFF by
+    default: at the production grid (N=2048, A=202) the doubled tap
+    gathers cost more than the one saved fft2 (68.4 vs 45.4 ms on
+    v5e) — the slice sampling, not the transform, is the binding cost
+    at this size.
     """
     Bn, Hb, Wb = stack.shape
     # 1.5x padding: the projection support spans the image diagonal
@@ -77,8 +95,16 @@ def _radon_fft(stack, n_angles: int):
         N = fast_fft_size(N)
     if N % 2:
         N += N % 2
-    Zp = jnp.zeros((Bn, N, N), stack.dtype)
-    Zp = Zp.at[:, :Hb, :Wb].set(stack)      # corner origin
+
+    npk = (Bn // 2) if pack else 0          # packed channel pairs
+    rem = Bn - 2 * npk
+    work = stack[0:2 * npk:2] + 1j * stack[1:2 * npk:2]
+    if rem:
+        work = jnp.concatenate(
+            [work, stack[2 * npk:].astype(work.dtype)], axis=0)
+    Bw = work.shape[0]
+    Zp = jnp.zeros((Bw, N, N), work.dtype)
+    Zp = Zp.at[:, :Hb, :Wb].set(work)       # corner origin
 
     F = jnp.fft.fftshift(jnp.fft.fft2(Zp), axes=(-2, -1))  # centred freq
 
@@ -88,23 +114,46 @@ def _radon_fft(stack, n_angles: int):
     # (columns), ky along +y (rows)
     kx = u[None, :] * jnp.cos(thetas)[:, None] + N // 2    # (A, N)
     ky = u[None, :] * jnp.sin(thetas)[:, None] + N // 2
+    flat = F.reshape(Bw, -1)
 
-    # bilinear interpolation of the complex spectrum (A*N*4 taps)
-    x0 = jnp.clip(jnp.floor(kx).astype(jnp.int32), 0, N - 2)
-    y0 = jnp.clip(jnp.floor(ky).astype(jnp.int32), 0, N - 2)
-    fx = jnp.clip(kx - x0, 0.0, 1.0)
-    fy = jnp.clip(ky - y0, 0.0, 1.0)
-    flat = F.reshape(Bn, -1)
-    idx = y0 * N + x0                                       # (A, N)
+    def sample(kx, ky, chans: slice):
+        """Bilinear interpolation of the complex spectrum (A*N*4 taps).
 
-    def tap(off):
-        return flat[:, (idx + off).reshape(-1)].reshape(
-            Bn, *idx.shape)
+        Taps wrap mod N — the DFT spectrum is periodic, and modular
+        indexing (unlike edge clamping) commutes with the conjugate
+        mirror, which the packed-channel unpacking relies on."""
+        x0f = jnp.floor(kx)
+        y0f = jnp.floor(ky)
+        fx = kx - x0f
+        fy = ky - y0f
+        x0 = jnp.mod(x0f.astype(jnp.int32), N)
+        y0 = jnp.mod(y0f.astype(jnp.int32), N)
+        x1 = jnp.mod(x0 + 1, N)
+        y1 = jnp.mod(y0 + 1, N)
+        fl = flat[chans]
 
-    S = ((1 - fy) * (1 - fx) * tap(0)
-         + (1 - fy) * fx * tap(1)
-         + fy * (1 - fx) * tap(N)
-         + fy * fx * tap(N + 1))                           # (B, A, N)
+        def tap(iy, ix):
+            return fl[:, (iy * N + ix).reshape(-1)].reshape(
+                fl.shape[0], *ix.shape)
+
+        return ((1 - fy) * (1 - fx) * tap(y0, x0)
+                + (1 - fy) * fx * tap(y0, x1)
+                + fy * (1 - fx) * tap(y1, x0)
+                + fy * fx * tap(y1, x1))                    # (B, A, N)
+
+    S_dir = sample(kx, ky, slice(None))
+    parts = []
+    if npk:
+        # conjugate-mirror samples of the packed spectra unpack a and b
+        S_mir = sample(jnp.float32(N) - kx, jnp.float32(N) - ky,
+                       slice(0, npk))
+        Sa = 0.5 * (S_dir[:npk] + jnp.conj(S_mir))
+        Sb = -0.5j * (S_dir[:npk] - jnp.conj(S_mir))
+        for a, b in zip(Sa, Sb):
+            parts.extend([a[None], b[None]])
+    if rem:
+        parts.append(S_dir[npk:])
+    S = jnp.concatenate(parts, axis=0)                      # (Bn, A, N)
 
     # p[m] integrates along x·cosθ + y·sinθ ≡ m (mod N), corner coords
     proj = jnp.fft.ifft(jnp.fft.ifftshift(S, axes=-1), axis=-1).real
@@ -165,29 +214,57 @@ def detect_trails(image, mask_excl=None,
     if excl is not None:
         ones = jnp.where(excl, 0.0, ones)
     proj, thetas, N = _radon_fft(jnp.stack([Z, lit, ones]), n_angles)
-    prof, litprof, nhit = proj[0], proj[1], proj[2]
-    nhit = jnp.maximum(nhit, 1.0)
+    prof, litprof, nhit_raw = proj[0], proj[1], proj[2]
 
-    # normalised mean significance along the line; require decent fill
-    line_mean = prof / nhit
-    fill_ok = nhit >= (p.min_fill * min(Z.shape))
-    # a trail is LONG: most pixels along the line are individually lit
-    # (compact star disks light only a small stretch)
-    lit_ok = (litprof / nhit) >= p.lit_frac
-    # z-score of the line mean against the clipped-noise baseline
-    snr = (line_mean - z_mean) * jnp.sqrt(nhit / z_var)
-    snr = jnp.where(fill_ok & lit_ok, snr, 0.0)          # (A, N)
+    def boxsum(a, w):
+        """Box sum of w offsets, wrap-padded (the Radon offset axis is
+        periodic mod N)."""
+        if w == 1:
+            return a
+        pa = jnp.pad(a, ((0, 0), (w // 2, w - 1 - w // 2)), mode="wrap")
+        return lax.reduce_window(pa, 0.0, lax.add, (1, w), (1, 1),
+                                 "VALID")
 
-    # peak picking with non-max suppression in a (5, 11) window
-    padded = jnp.pad(snr, ((2, 2), (5, 5)), constant_values=0)
+    min_len = p.min_fill * min(Z.shape)
+    snr = jnp.zeros_like(prof)
+    band_w = jnp.ones_like(prof)
+    for w in p.band_widths:
+        pw = boxsum(prof, w)
+        lw = boxsum(litprof, w)
+        nw = jnp.maximum(boxsum(nhit_raw, w), 1.0)
+        # normalised mean significance over the band; require decent fill
+        line_len = nw / w
+        fill_ok = line_len >= min_len
+        # a trail is LONG: its lit pixels add up to a line-length's
+        # worth (compact star disks light only a small stretch); the
+        # band denominator is ONE line's length, not the band area
+        lit_ok = (lw / jnp.maximum(line_len, 1.0)) >= p.lit_frac
+        # z-score of the band mean against the clipped-noise baseline
+        snr_w = (pw / nw - z_mean) * jnp.sqrt(nw / z_var)
+        snr_w = jnp.where(fill_ok & lit_ok, snr_w, 0.0)
+        upd = snr_w > snr
+        snr = jnp.where(upd, snr_w, snr)
+        band_w = jnp.where(upd, jnp.float32(w), band_w)   # (A, N)
+
+    # peak picking with non-max suppression; band sums plateau, so break
+    # ties with a tiny deterministic ramp (else every plateau point
+    # passes `>= local_max` and one trail eats several top-k slots)
+    wmax = max(p.band_widths)
+    tw = max(11, 2 * wmax + 1)
+    ramp = (jnp.arange(snr.size, dtype=jnp.float32)
+            .reshape(snr.shape)) * jnp.float32(1e-9)
+    snr = jnp.where(snr > 0, snr + ramp, snr)
+    padded = jnp.pad(snr, ((2, 2), (tw // 2, tw // 2)),
+                     constant_values=0)
     local_max = lax.reduce_window(padded, -jnp.inf, lax.max,
-                                  (5, 11), (1, 1), "VALID")
+                                  (5, tw), (1, 1), "VALID")
     is_peak = (snr >= local_max) & (snr > p.nsigma)
     vals = jnp.where(is_peak, snr, 0.0).ravel()
     top_v, i = jax.lax.top_k(vals, p.max_trails)
     n_trails = jnp.sum(top_v > 0)
     th = thetas[i // N]
     m0 = (i % N).astype(jnp.float32)
+    w_at = band_w.ravel()[i]                 # winning band per peak
 
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
@@ -199,7 +276,10 @@ def detect_trails(image, mask_excl=None,
         # binned corner-origin line coordinate, wrap-aware mod-N distance
         t = (xx / f) * jnp.cos(th[k]) + (yy / f) * jnp.sin(th[k])
         d = jnp.abs(jnp.mod(t - m0[k] + N / 2.0, float(N)) - N / 2.0)
-        return active & (d * f <= hw)
+        # a band-w detection localises the line centre only to +-w/2
+        # binned offsets: widen the rasterised mask accordingly
+        hw_k = hw + 0.5 * (w_at[k] - 1.0) * f
+        return active & (d * f <= hw_k)
 
     masks = jax.vmap(line_mask)(jnp.arange(p.max_trails))
     trail_mask = jnp.any(masks, axis=0)
