@@ -114,12 +114,24 @@ def test_lacosmic_windowed_matches_dense_exactly(rng):
         d, m, rdn, LACosmicParams(sigclip=8.0, strip_rows=32,
                                   windowed=True, cell=32,
                                   window_chunk=4, max_cells=64)))
+    pre = jax.jit(lambda d, m: lacosmic(
+        d, m, rdn, LACosmicParams(sigclip=8.0, strip_rows=32,
+                                  windowed=True, cell=32,
+                                  window_chunk=4, max_cells=64,
+                                  prescreen=True)))
     cd, md, nd = dense(jnp.asarray(img), jnp.asarray(inm))
     cw, mw, nw = win(jnp.asarray(img), jnp.asarray(inm))
     np.testing.assert_array_equal(np.asarray(md), np.asarray(mw))
     np.testing.assert_array_equal(np.asarray(cd), np.asarray(cw))
     np.testing.assert_array_equal(np.asarray(nd), np.asarray(nw))
     assert np.asarray(nd)[0] > 0
+    # the exact-superset pre-screened iteration 1 must also be
+    # bit-identical (seeds can only be added by the bound, and the
+    # windowed detection re-evaluates them exactly)
+    cp, mp, np_ = pre(jnp.asarray(img), jnp.asarray(inm))
+    np.testing.assert_array_equal(np.asarray(md), np.asarray(mp))
+    np.testing.assert_array_equal(np.asarray(cd), np.asarray(cp))
+    np.testing.assert_array_equal(np.asarray(nd), np.asarray(np_))
 
 
 def test_lacosmic_windowed_dense_fallback(rng):
