@@ -161,11 +161,20 @@ def _radon_fft(stack, n_angles: int, pack: bool = False):
 
 
 def detect_trails(image, mask_excl=None,
-                  params: SatDetParams = SatDetParams()):
+                  params: SatDetParams = SatDetParams(),
+                  seam_rows: tuple = (), seam_cols: tuple = ()):
     """Detect straight bright trails.
 
     image : (H, W) background-subtracted (or raw; the median is removed)
     mask_excl : optional bool — pixels ignored (saturated columns etc.)
+    seam_rows/seam_cols : static full-resolution coordinates of the
+        detector's channel boundaries.  An axis-aligned detection whose
+        mask would cover a seam is an INSTRUMENT artifact (bias/flat
+        mismatch between readout channels — strong when a frame is
+        reduced without masters), not a satellite: those peaks are
+        vetoed.  A genuine satellite exactly along a seam is vanishingly
+        rare, and seams are a tiny fraction of the frame at production
+        channel sizes.
 
     Returns (trail_mask bool (H, W), n_trails, peak_snr).
     """
@@ -182,7 +191,13 @@ def detect_trails(image, mask_excl=None,
     # upsample on the (cheap) binned map.
     from blackbox_tpu.ops.background import background_mesh, mini2back
     Hb, Wb = B.shape
-    box = max(min(Hb, Wb) // 4, 8)
+    # a FIXED small mesh box (in binned px), not size-proportional: the
+    # background stage must absorb instrument structure sharper than
+    # the old min(H,W)//4 box could follow (vignette edges, channel-
+    # seam steps — genuine straight features the band statistic would
+    # otherwise flag as trails), while a 1-2-bin-wide trail cannot
+    # shift a 16-bin box median and survives untouched
+    box = max(min(min(Hb, Wb) // 4, 16), 4)
     mesh, stdm = background_mesh(B[:Hb // box * box, :Wb // box * box],
                                  None, box)
     bkg = mini2back(mesh, (Hb, Wb), box)
@@ -226,9 +241,24 @@ def detect_trails(image, mask_excl=None,
                                  "VALID")
 
     min_len = p.min_fill * min(Z.shape)
+    # usable band widths scale with the PHYSICAL angle-grid drift: a
+    # line misaligned by up to half a grid step wanders at most
+    # diag/2 · pi/n_angles offsets over its length — bands wider than
+    # that only collect scattered star light / residual structure (a
+    # 15-bin band is a quarter of a tiny test map and false-positived
+    # on it, while at the production grid the full drift is ~15 bins)
+    import math as _m
+    drift = 1.42 * max(Z.shape) * _m.pi / (2 * n_angles)
+    widths = tuple(w for w in p.band_widths
+                   if w == 1 or (w - 1) // 2 <= _m.ceil(drift))
+    nhit1 = jnp.maximum(nhit_raw, 1.0)
+    # single-line z against the global clipped-noise baseline: used to
+    # refine each band detection's centre and measure its true offset
+    # extent before rasterising (a band only localises to +-w/2)
+    s_line = (prof / nhit1 - z_mean) * jnp.sqrt(nhit1 / z_var)
     snr = jnp.zeros_like(prof)
     band_w = jnp.ones_like(prof)
-    for w in p.band_widths:
+    for w in widths:
         pw = boxsum(prof, w)
         lw = boxsum(litprof, w)
         nw = jnp.maximum(boxsum(nhit_raw, w), 1.0)
@@ -239,8 +269,20 @@ def detect_trails(image, mask_excl=None,
         # worth (compact star disks light only a small stretch); the
         # band denominator is ONE line's length, not the band area
         lit_ok = (lw / jnp.maximum(line_len, 1.0)) >= p.lit_frac
-        # z-score of the band mean against the clipped-noise baseline
-        snr_w = (pw / nw - z_mean) * jnp.sqrt(nw / z_var)
+        # a trail is LOCALISED in offset: score the band against its
+        # own FLANKS (w offsets each side), not just the global clipped-
+        # noise baseline.  Detector-row/column structure (channel-seam
+        # bias steps, flat gradients) elevates a half-plane of offsets —
+        # its flank is as bright as the band and the contrast vanishes —
+        # while a real trail's wander is bounded by the band, leaving
+        # clean flanks.  The score is normalised PER LINE (/sqrt(w)):
+        # a wide band sums w lines of scattered star light, and the
+        # raw band z would scale past threshold on star-rich fields.
+        p3 = boxsum(prof, 3 * w)
+        n3 = jnp.maximum(boxsum(nhit_raw, 3 * w), 1.0)
+        flank_n = jnp.maximum(n3 - nw, 1.0)
+        flank_mean = jnp.maximum((p3 - pw) / flank_n, z_mean)
+        snr_w = (pw / nw - flank_mean) * jnp.sqrt(nw / z_var / w)
         snr_w = jnp.where(fill_ok & lit_ok, snr_w, 0.0)
         upd = snr_w > snr
         snr = jnp.where(upd, snr_w, snr)
@@ -249,15 +291,22 @@ def detect_trails(image, mask_excl=None,
     # peak picking with non-max suppression; band sums plateau, so break
     # ties with a tiny deterministic ramp (else every plateau point
     # passes `>= local_max` and one trail eats several top-k slots)
-    wmax = max(p.band_widths)
+    wmax = max(widths)
     tw = max(11, 2 * wmax + 1)
+    # angle window: a bright trail of frame-scale length L elevates
+    # lines tilted by up to ~wmax/L rad (they stay inside a wmax band
+    # while crossing it), i.e. ghost peaks up to that many grid steps
+    # away — suppress them (capped: two genuinely distinct trails
+    # within the window would merge)
+    aw = int(np.clip(
+        2 * round(wmax / (min(Z.shape) * np.pi / n_angles)) + 1, 5, 33))
     ramp = (jnp.arange(snr.size, dtype=jnp.float32)
             .reshape(snr.shape)) * jnp.float32(1e-9)
     snr = jnp.where(snr > 0, snr + ramp, snr)
-    padded = jnp.pad(snr, ((2, 2), (tw // 2, tw // 2)),
+    padded = jnp.pad(snr, ((aw // 2, aw // 2), (tw // 2, tw // 2)),
                      constant_values=0)
     local_max = lax.reduce_window(padded, -jnp.inf, lax.max,
-                                  (5, tw), (1, 1), "VALID")
+                                  (aw, tw), (1, 1), "VALID")
     is_peak = (snr >= local_max) & (snr > p.nsigma)
     vals = jnp.where(is_peak, snr, 0.0).ravel()
     top_v, i = jax.lax.top_k(vals, p.max_trails)
@@ -266,19 +315,72 @@ def detect_trails(image, mask_excl=None,
     m0 = (i % N).astype(jnp.float32)
     w_at = band_w.ravel()[i]                 # winning band per peak
 
+    # refine each band peak with the single-line profile: recentre on
+    # its argmax within the winning band and mask only the measured
+    # elevated extent (blanket hw + w/2 widening wiped half a small
+    # frame when a wide band won)
+    s_pad = jnp.pad(s_line, ((0, 0), (wmax, wmax)), mode="wrap")
+    lf_pad = jnp.pad(litprof / nhit1, ((0, 0), (wmax, wmax)),
+                     mode="wrap")
+    pos = jnp.arange(2 * wmax + 1, dtype=jnp.float32) - wmax
+
+    def refine(k):
+        a = i[k] // N
+        t0 = i[k] % N
+        win = lax.dynamic_slice(s_pad, (a, t0), (1, 2 * wmax + 1))[0]
+        lfw = lax.dynamic_slice(lf_pad, (a, t0), (1, 2 * wmax + 1))[0]
+        inband = jnp.abs(pos) <= 0.5 * (w_at[k] - 1.0) + 1e-3
+        winb = jnp.where(inband, win, -jnp.inf)
+        off = pos[jnp.argmax(winb)]
+        lit_line = inband & (win > 2.0)
+        ext = jnp.sum(lit_line.astype(jnp.float32))
+        # THICK-STRUCTURE veto: a smeared satellite lights each single
+        # line only fractionally (its wander crosses line t for a
+        # stretch ~L/smear), while vignette bands / channel-seam
+        # structure / clouds light several adjacent lines END TO END.
+        # >= 3 fully-lit member lines => not a trail.  (A genuinely
+        # aligned narrow trail fully lights 1-2 lines and wins at w=1.)
+        n_full = jnp.sum((inband & (lfw >= 0.8)).astype(jnp.int32))
+        return m0[k] + off, jnp.maximum(ext - 1.0, 0.0), n_full >= 3
+
+    m0_ref, ext, thick = jax.vmap(refine)(jnp.arange(p.max_trails))
+    top_v = jnp.where(thick, 0.0, top_v)
+    n_trails = jnp.sum(top_v > 0)
+
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
     f = float(p.bin_factor)
     hw = p.trail_halfwidth
 
+    if seam_rows or seam_cols:
+        # veto axis-aligned peaks whose mask covers a channel seam
+        def seam_hit(k):
+            hw_k = hw + 0.5 * ext[k] * f
+            cth, sth = jnp.cos(th[k]), jnp.sin(th[k])
+            hit = jnp.bool_(False)
+            for r in seam_rows:
+                t_seam = (0.5 * W / f) * cth + (float(r) / f) * sth
+                d = jnp.abs(jnp.mod(t_seam - m0_ref[k] + N / 2.0,
+                                    float(N)) - N / 2.0)
+                hit |= (jnp.abs(cth) < 0.25) & (d * f <= hw_k + f)
+            for c in seam_cols:
+                t_seam = (float(c) / f) * cth + (0.5 * H / f) * sth
+                d = jnp.abs(jnp.mod(t_seam - m0_ref[k] + N / 2.0,
+                                    float(N)) - N / 2.0)
+                hit |= (jnp.abs(sth) < 0.25) & (d * f <= hw_k + f)
+            return hit
+
+        vetoed = jax.vmap(seam_hit)(jnp.arange(p.max_trails))
+        top_v = jnp.where(vetoed, 0.0, top_v)
+        n_trails = jnp.sum(top_v > 0)
+
     def line_mask(k):
         active = top_v[k] > 0
         # binned corner-origin line coordinate, wrap-aware mod-N distance
         t = (xx / f) * jnp.cos(th[k]) + (yy / f) * jnp.sin(th[k])
-        d = jnp.abs(jnp.mod(t - m0[k] + N / 2.0, float(N)) - N / 2.0)
-        # a band-w detection localises the line centre only to +-w/2
-        # binned offsets: widen the rasterised mask accordingly
-        hw_k = hw + 0.5 * (w_at[k] - 1.0) * f
+        d = jnp.abs(jnp.mod(t - m0_ref[k] + N / 2.0, float(N))
+                    - N / 2.0)
+        hw_k = hw + 0.5 * ext[k] * f
         return active & (d * f <= hw_k)
 
     masks = jax.vmap(line_mask)(jnp.arange(p.max_trails))

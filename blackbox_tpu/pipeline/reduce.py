@@ -178,11 +178,22 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
         ch = xtalk_correct(ch, mk, xtalk_coeffs, geom.nx)
         clean = geom.assemble(ch)
 
-    # satellite trails
+    # satellite trails.  EDGE pixels are excluded too: they are overscan
+    # artefacts forming genuine straight lines along the channel seams
+    # (the band-integrated Radon statistic rightly finds them; the
+    # reference's edge pixels are similarly dead rows, filled with the
+    # channel median right after this step)
     if ctx.detect_sats:
         excl = (mask_m & (maskbits.SATURATED | maskbits.SAT_CONNECTED
-                          | maskbits.BAD)) != 0
-        trail_mask, ntrails, _ = detect_trails(clean, excl, ctx.sat_params)
+                          | maskbits.BAD | maskbits.EDGE)) != 0
+        Hr, Wr = geom.red_shape
+        seam_rows = tuple(geom.ysize_chan * i
+                          for i in range(1, Hr // geom.ysize_chan))
+        seam_cols = tuple(geom.xsize_chan * j
+                          for j in range(1, Wr // geom.xsize_chan))
+        trail_mask, ntrails, _ = detect_trails(clean, excl, ctx.sat_params,
+                                               seam_rows=seam_rows,
+                                               seam_cols=seam_cols)
         mask_m = jnp.where(trail_mask & ((mask_m & maskbits.EDGE) == 0),
                            mask_m | maskbits.SATELLITE, mask_m)
         stats["nsats"] = ntrails

@@ -37,7 +37,13 @@ def reduced():
                                   trail=True, nsat=2, sky_e=300.0)
     chan, osv, osh = geom.split_raw(jnp.asarray(raw))
     fn = make_reduce_fn(ctx)
-    out = fn(chan, osv, osh, None, None, None, None)
+    # flat-field like production: the reference ALWAYS divides the
+    # master flat before satellite detection (blackbox.py:1825 -> 1928)
+    # — an uncorrected vignette is a genuine bright band the trail
+    # detector rightly rejects as non-satellite structure, but its
+    # gradients also red-flag the frame
+    mflat = geom.disassemble(jnp.asarray(truth.flat))
+    out = fn(chan, osv, osh, None, mflat, None, None)
     return ctx, truth, {k: np.asarray(v) if not isinstance(v, dict) else v
                         for k, v in out.items()}
 
