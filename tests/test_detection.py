@@ -208,3 +208,34 @@ def test_satdet_finds_misaligned_long_trail(rng):
     # the rasterised mask covers the injected line
     cover = np.asarray(mask)[yy[keep], xx[keep]]
     assert cover.mean() > 0.8
+
+
+def test_satdet_seam_veto(rng):
+    """A bright row exactly on a channel seam is an instrument
+    artifact: vetoed when the seam coordinate is declared, detected
+    otherwise."""
+    H = W = 1024
+    img = rng.normal(0, 3.0, (H, W)).astype(np.float32)
+    img[512:514, :] += 9.0                     # bright line on the seam
+    p = SatDetParams(bin_factor=4)
+    m1, n1, _ = detect_trails(jnp.asarray(img), None, p)
+    assert int(n1) >= 1
+    m2, n2, _ = detect_trails(jnp.asarray(img), None, p,
+                              seam_rows=(512,))
+    assert int(n2) == 0
+
+
+def test_satdet_thick_band_rejected(rng):
+    """A wide bright band (vignette/cloud) is not a satellite: several
+    adjacent fully-lit lines trip the thick-structure veto, while a
+    narrow trail of the same surface brightness is kept."""
+    H = W = 1024
+    p = SatDetParams(bin_factor=4)
+    band = rng.normal(0, 3.0, (H, W)).astype(np.float32)
+    band[300:420, :] += 9.0                    # 120-px thick band
+    m, n, _ = detect_trails(jnp.asarray(band), None, p)
+    assert int(n) == 0
+    narrow = rng.normal(0, 3.0, (H, W)).astype(np.float32)
+    narrow[300:303, :] += 9.0                  # 3-px trail
+    m, n, _ = detect_trails(jnp.asarray(narrow), None, p)
+    assert int(n) >= 1
