@@ -42,12 +42,54 @@ def host_fingerprint() -> str:
         return "nohost"
 
 
+def _canary_expected() -> int:
+    """Integer-exact known answer of the canary program (host numpy)."""
+    import numpy as np
+    a = (np.arange(256 * 256, dtype=np.int32).reshape(256, 256) % 97)
+    b = (np.arange(256 * 256, dtype=np.int32).reshape(256, 256) % 89)
+    m = a @ b.T                       # entries <= 96*88*256, no overflow
+    # & 0x3FF keeps the 65536-element running sum below 2^31:
+    # numpy promotes int32 cumsum to int64 while XLA wraps in
+    # int32, so the canary must never overflow
+    return int(np.cumsum(m.ravel() & 0x3FF)[-1] % 1000003)
+
+
+def _canary_ok() -> bool:
+    """Run a small jitted integer program THROUGH the cache and compare
+    against the exact host answer.  Detects the stale-AOT failure mode
+    where XLA:CPU loads an artifact compiled for a different machine
+    variant and silently returns corrupted results (observed twice —
+    PERF_NOTES.md; the cpuinfo fingerprint did not distinguish the
+    hosts because the divergent bits are LLVM tuning features, not CPU
+    flags)."""
+    import jax
+    import jax.numpy as jnp
+
+    def prog(n):
+        a = (jnp.arange(256 * 256, dtype=jnp.int32).reshape(256, 256)
+             % 97)
+        b = (jnp.arange(256 * 256, dtype=jnp.int32).reshape(256, 256)
+             % 89)
+        m = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return jnp.cumsum(m.ravel() & 0x3FF)[-1] % 1000003 + n * 0
+
+    got = int(jax.jit(prog)(jnp.int32(0)))
+    return got == _canary_expected()
+
+
 def enable_persistent_cache(path=None) -> str | None:
     """Point JAX at a persistent compilation cache directory.
 
     path : True/None -> auto (/tmp, host-fingerprinted); str -> use as
         given; False -> do nothing.
     Returns the directory in effect, or None when disabled/failed.
+
+    On the CPU backend a known-answer canary is compiled through the
+    cache; a wrong answer means the directory holds artifacts from an
+    incompatible host variant, and the whole directory is wiped and
+    re-created (a fresh compile beats silently corrupt science).
     """
     if path is False:
         return None
@@ -61,8 +103,29 @@ def enable_persistent_cache(path=None) -> str | None:
                 return str(cur)
             path = f"/tmp/jax_cache_blackbox_tpu_{host_fingerprint()}"
         jax.config.update("jax_compilation_cache_dir", str(path))
+        # the canary must itself be served from the cache to prove the
+        # cache's artifacts run correctly on this host: drop the
+        # persistence threshold for its compile only
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          10)
+                          0)
+        try:
+            if jax.default_backend() == "cpu" and not _canary_ok():
+                import os
+                import shutil
+                log.error("compile-cache canary FAILED: wiping stale "
+                          "cache directory %s (artifacts from an "
+                          "incompatible host variant)", path)
+                shutil.rmtree(str(path), ignore_errors=True)
+                os.makedirs(str(path), exist_ok=True)
+                jax.clear_caches()
+                if not _canary_ok():  # genuine miscompile, not cache
+                    log.error("canary still failing on a fresh cache — "
+                              "disabling the persistent cache")
+                    jax.config.update("jax_compilation_cache_dir", None)
+                    return None
+        finally:
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 10)
         return str(path)
     except Exception:
         log.exception("could not enable the persistent compile cache")

@@ -25,12 +25,14 @@ jax.config.update("jax_platforms", "cpu")
 # a different box returns CORRUPTED results (observed: garbage masks)
 # (model name + flags: VM hosts expose the same model string with
 # differing feature sets, which still corrupts AOT artifacts)
-from blackbox_tpu.utils.compilecache import host_fingerprint as _hfp
+from blackbox_tpu.utils.compilecache import (  # noqa: E402
+    enable_persistent_cache as _epc, host_fingerprint as _hfp)
 _fp = _hfp()
 if not os.environ.get("BBT_NO_CACHE"):
-    jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/jax_cache_blackbox_tpu_tests_{_fp}")
-if not os.environ.get("BBT_NO_CACHE"):
+    # via enable_persistent_cache so its known-answer canary runs: a
+    # stale/incompatible cache is wiped instead of feeding the suite
+    # silently corrupted executables (observed: garbage masks)
+    _epc(f"/tmp/jax_cache_blackbox_tpu_tests_{_fp}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
 import numpy as np  # noqa: E402

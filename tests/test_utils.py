@@ -115,3 +115,29 @@ def test_compile_cache_knob():
         assert jax.config.jax_compilation_cache_dir == got
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_compile_cache_canary(tmp_path, monkeypatch):
+    """The known-answer canary passes on a healthy cache, and a
+    mismatching answer wipes the directory instead of serving stale
+    artifacts (the silent-corruption mode documented in PERF_NOTES)."""
+    import jax
+    from blackbox_tpu.utils import compilecache as cc
+
+    d = tmp_path / "cache"
+    d.mkdir()
+    (d / "stale.bin").write_bytes(b"x")
+    prev = getattr(jax.config, "jax_compilation_cache_dir", None)
+    try:
+        out = cc.enable_persistent_cache(str(d))
+        assert out == str(d)
+        assert (d / "stale.bin").exists()       # healthy: untouched
+
+        # poison the expected answer -> canary "fails" -> dir wiped;
+        # the fresh-cache retry also fails -> cache disabled
+        monkeypatch.setattr(cc, "_canary_expected", lambda: -1)
+        out = cc.enable_persistent_cache(str(d))
+        assert out is None
+        assert not (d / "stale.bin").exists()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
