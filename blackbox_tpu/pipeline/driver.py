@@ -183,6 +183,19 @@ class Pipeline:
                 ctx_, c, v, h, None, None, None, None))
         self._extract = jax.jit(lambda s, m: extract_catalog(ctx_, s, m))
 
+        # fused science program: calibration + extraction in ONE jit —
+        # XLA's cross-stage fusion/CSE is worth ~60-80 ms/frame at full
+        # scale (PERF_NOTES.md; bench.py measures this fused shape) and
+        # it saves a dispatch round-trip.  The QC red=>dummy gate then
+        # costs one speculative extraction on red frames, which are
+        # rare; used only when no U-Net post-pass splits the programs.
+        def _fused(c, v, hh, mb, mf, bpm):
+            sci, mask_m, stats = calibrate_detector(
+                ctx_, c, v, hh, mb, mf, bpm, xt, nl)
+            return sci, mask_m, stats, extract_catalog(ctx_, sci, mask_m)
+
+        self._reduce_sci = jax.jit(_fused)
+
     def _cal_path(self, p: str) -> str:
         """Resolve a calibration-file path against cal_dir when
         relative (reference MLBG_CALDIR layout)."""
@@ -269,6 +282,7 @@ class Pipeline:
         # stages are missing, reuse the published image instead of
         # recalibrating from raw
         reused = None
+        fused_ext = None          # set by the fused science program
         if imgtype == "object" and "img_reduce" not in plan:
             reused = self._load_published_red(date, base)
         if reused is not None:
@@ -361,6 +375,13 @@ class Pipeline:
                 sci = device_override["sci"]
                 mask = device_override["mask"]
                 stats = dict(device_override["stats"])
+            elif (imgtype == "object" and cat_extract
+                    and self.trailnet_params is None):
+                # fused calibration+extraction (one dispatch, XLA
+                # cross-stage fusion); on a QC-red frame the
+                # speculative extraction is simply discarded
+                sci, mask, stats, fused_ext = self._reduce_sci(
+                    *args, mbias, mflat, bpm)
             else:
                 sci, mask, stats = cal_fn(*args, mbias, mflat, bpm)
             if self.trailnet_params is not None and imgtype == "object" \
@@ -464,7 +485,7 @@ class Pipeline:
 
         # ---- source extraction (device program #2) ----
         ext = (device_override.get("ext")
-               if device_override is not None else None)
+               if device_override is not None else fused_ext)
         if ext is None:
             ext = self._extract(sci, mask)
         estats = {k: np.asarray(v) for k, v in ext["stats"].items()}
