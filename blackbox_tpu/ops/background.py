@@ -90,7 +90,7 @@ def _catmull_rom_matrix(n_out: int, n_mesh: int, boxsize: int) -> np.ndarray:
     return W
 
 
-def mini2back(mesh, out_shape, boxsize: int, use_pallas: bool | None = None):
+def mini2back(mesh, out_shape, boxsize: int, use_pallas: bool = False):
     """Bicubic upsample of a background mesh to full resolution.
 
     ``Wy @ mesh @ Wx.T`` with precomputed Catmull-Rom weight matrices
@@ -105,8 +105,6 @@ def mini2back(mesh, out_shape, boxsize: int, use_pallas: bool | None = None):
     ny, nx = mesh.shape
     Wy = jnp.asarray(_catmull_rom_matrix(H, ny, boxsize))
     Wx = jnp.asarray(_catmull_rom_matrix(W, nx, boxsize))
-    if use_pallas is None:
-        use_pallas = False
     if use_pallas:
         from blackbox_tpu.pallas.upsample import upsample_mesh_pallas
         return upsample_mesh_pallas((mesh,), Wy, Wx, (H, W))[0]

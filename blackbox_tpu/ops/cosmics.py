@@ -88,6 +88,11 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams(),
     Returns (cleaned data, crmask bool, per-iteration detection counts).
     """
     p = params
+    if p.prescreen and (not p.windowed or p.sepmed):
+        raise ValueError("LACosmicParams.prescreen requires the windowed "
+                         "iteration machinery (windowed=True, "
+                         "sepmed=False) — it places exact windowed "
+                         "detection from the seed superset")
     if p.use_pallas:
         from blackbox_tpu.pallas.lacosmic import lacosmic_pallas
         return lacosmic_pallas(data, inmask, rdnoise, sigclip=p.sigclip,

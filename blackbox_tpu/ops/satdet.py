@@ -249,8 +249,10 @@ def detect_trails(image, mask_excl=None,
     # on it, while at the production grid the full drift is ~15 bins)
     import math as _m
     drift = 1.42 * max(Z.shape) * _m.pi / (2 * n_angles)
-    widths = tuple(w for w in p.band_widths
-                   if w == 1 or (w - 1) // 2 <= _m.ceil(drift))
+    # width 1 (the plain single-line statistic) is always present so
+    # the filter can never leave the set empty
+    widths = (1,) + tuple(w for w in p.band_widths
+                          if w != 1 and (w - 1) // 2 <= _m.ceil(drift))
     nhit1 = jnp.maximum(nhit_raw, 1.0)
     # single-line z against the global clipped-noise baseline: used to
     # refine each band detection's centre and measure its true offset
@@ -318,17 +320,21 @@ def detect_trails(image, mask_excl=None,
     # refine each band peak with the single-line profile: recentre on
     # its argmax within the winning band and mask only the measured
     # elevated extent (blanket hw + w/2 widening wiped half a small
-    # frame when a wide band won)
-    s_pad = jnp.pad(s_line, ((0, 0), (wmax, wmax)), mode="wrap")
-    lf_pad = jnp.pad(litprof / nhit1, ((0, 0), (wmax, wmax)),
+    # frame when a wide band won).  The window is sized by BOTH the
+    # widest band and the thick-structure threshold, so the run
+    # measurement below can always see a veto-worthy structure.
+    thick_lines = max(3, int(np.ceil(96.0 / p.bin_factor)))
+    WIN = max(wmax, thick_lines + 1)
+    s_pad = jnp.pad(s_line, ((0, 0), (WIN, WIN)), mode="wrap")
+    lf_pad = jnp.pad(litprof / nhit1, ((0, 0), (WIN, WIN)),
                      mode="wrap")
-    pos = jnp.arange(2 * wmax + 1, dtype=jnp.float32) - wmax
+    pos = jnp.arange(2 * WIN + 1, dtype=jnp.float32) - WIN
 
     def refine(k):
         a = i[k] // N
         t0 = i[k] % N
-        win = lax.dynamic_slice(s_pad, (a, t0), (1, 2 * wmax + 1))[0]
-        lfw = lax.dynamic_slice(lf_pad, (a, t0), (1, 2 * wmax + 1))[0]
+        win = lax.dynamic_slice(s_pad, (a, t0), (1, 2 * WIN + 1))[0]
+        lfw = lax.dynamic_slice(lf_pad, (a, t0), (1, 2 * WIN + 1))[0]
         inband = jnp.abs(pos) <= 0.5 * (w_at[k] - 1.0) + 1e-3
         winb = jnp.where(inband, win, -jnp.inf)
         off = pos[jnp.argmax(winb)]
@@ -336,12 +342,22 @@ def detect_trails(image, mask_excl=None,
         ext = jnp.sum(lit_line.astype(jnp.float32))
         # THICK-STRUCTURE veto: a smeared satellite lights each single
         # line only fractionally (its wander crosses line t for a
-        # stretch ~L/smear), while vignette bands / channel-seam
-        # structure / clouds light several adjacent lines END TO END.
-        # >= 3 fully-lit member lines => not a trail.  (A genuinely
-        # aligned narrow trail fully lights 1-2 lines and wins at w=1.)
-        n_full = jnp.sum((inband & (lfw >= 0.8)).astype(jnp.int32))
-        return m0[k] + off, jnp.maximum(ext - 1.0, 0.0), n_full >= 3
+        # stretch ~L/smear), while a bright band narrower than the
+        # background-mesh box survives the mesh and lights many
+        # adjacent lines END TO END.  The threshold is a PHYSICAL
+        # width (> ~96 full px of fully-lit lines => not a trail; a
+        # fixed line COUNT rejected real 16-48 px trails at bin 8),
+        # measured as the contiguous fully-lit RUN through the peak —
+        # peaks of a band sit at its edges, where a symmetric count
+        # sees only half the structure.
+        idxw = jnp.arange(2 * WIN + 1)
+        fullf = lfw >= 0.8
+        above = jnp.min(jnp.where(~fullf & (idxw >= WIN), idxw,
+                                  2 * WIN + 1))
+        below = jnp.max(jnp.where(~fullf & (idxw <= WIN), idxw, -1))
+        run = above - below - 1
+        return (m0[k] + off, jnp.maximum(ext - 1.0, 0.0),
+                run >= thick_lines)
 
     m0_ref, ext, thick = jax.vmap(refine)(jnp.arange(p.max_trails))
     top_v = jnp.where(thick, 0.0, top_v)
@@ -354,6 +370,14 @@ def detect_trails(image, mask_excl=None,
 
     if seam_rows or seam_cols:
         # veto axis-aligned peaks whose mask covers a channel seam
+        # seams are EXACTLY axis-aligned, so the angle gate is a few
+        # grid steps (a 10-degrees-off trail near a seam is a real
+        # satellite, not an artifact); within the gate, the seam's
+        # Radon offset still varies across the frame by up to
+        # span = extent·|off-axis component| — fold that into the
+        # distance tolerance instead of sampling mid-frame only
+        ang_gate = 3.0 * float(np.pi) / n_angles
+
         def seam_hit(k):
             hw_k = hw + 0.5 * ext[k] * f
             cth, sth = jnp.cos(th[k]), jnp.sin(th[k])
@@ -362,12 +386,16 @@ def detect_trails(image, mask_excl=None,
                 t_seam = (0.5 * W / f) * cth + (float(r) / f) * sth
                 d = jnp.abs(jnp.mod(t_seam - m0_ref[k] + N / 2.0,
                                     float(N)) - N / 2.0)
-                hit |= (jnp.abs(cth) < 0.25) & (d * f <= hw_k + f)
+                span = 0.5 * (W / f) * jnp.abs(cth)
+                hit |= ((jnp.abs(cth) < ang_gate)
+                        & ((d - span) * f <= hw_k + f))
             for c in seam_cols:
                 t_seam = (float(c) / f) * cth + (0.5 * H / f) * sth
                 d = jnp.abs(jnp.mod(t_seam - m0_ref[k] + N / 2.0,
                                     float(N)) - N / 2.0)
-                hit |= (jnp.abs(sth) < 0.25) & (d * f <= hw_k + f)
+                span = 0.5 * (H / f) * jnp.abs(sth)
+                hit |= ((jnp.abs(sth) < ang_gate)
+                        & ((d - span) * f <= hw_k + f))
             return hit
 
         vetoed = jax.vmap(seam_hit)(jnp.arange(p.max_trails))

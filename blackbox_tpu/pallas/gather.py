@@ -128,6 +128,11 @@ def gather_windows(images, y0, x0, size: int, n_active=None,
     def _wide(im):
         if im.dtype.itemsize == 4:
             return im
+        if im.dtype.itemsize > 4:
+            # narrowing would silently lose mantissa/high bits and break
+            # the exact-pixel-copy contract
+            raise TypeError(f"gather_windows: unsupported 8-byte dtype "
+                            f"{im.dtype}; cast explicitly if lossy is ok")
         if jnp.issubdtype(im.dtype, jnp.floating):
             return im.astype(jnp.float32)
         return im.astype(jnp.int32)
