@@ -210,8 +210,13 @@ def convert_keras_weights(h5_path: str, tile: int = 256):
                 lambda p, obj: ds.__setitem__(p.rsplit("/", 1)[-1], obj)
                 if hasattr(obj, "shape") else None)
             if "kernel:0" in ds:
+                b = ds.get("bias:0")
+                # np.array(None) is a 0-d object array that defeats the
+                # `bias is not None` skip below — keep missing biases
+                # (use_bias=False Conv2D layers, standard before
+                # BatchNorm) as real None
                 kio.append((name, np.array(ds["kernel:0"]),
-                            np.array(ds.get("bias:0"))))
+                            np.array(b) if b is not None else None))
 
     kernels = [kp for kp in ours if kp[-1] == "kernel"]
     if len(kio) != len(kernels):

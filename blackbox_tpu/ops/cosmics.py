@@ -120,7 +120,11 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams(),
             clean = jnp.where(crmask, repl, clean)
         return clean, crmask, jnp.stack(counts)
 
-    if p.windowed:
+    # the windowed machinery gathers data windows but not rdnoise
+    # windows, so a per-pixel (H, W) read-noise map must take the dense
+    # path (still exact, just unwindowed)
+    windowed = p.windowed and jnp.ndim(rdnoise) == 0
+    if windowed:
         for it in range(p.niter):
             if it == 0 and p.prescreen:
                 # cheap exact-superset seed screen (separable extrema
@@ -211,14 +215,9 @@ def _lacosmic_dense_coords(data, inmask, rdnoise, p, coords):
         return jnp.where(bk(k // 2), a, out)
 
     def lapf(v):
-        up = jnp.roll(v, 1, 0)
-        dn = jnp.roll(v, -1, 0)
-        lf = jnp.roll(v, 1, 1)
-        rt = jnp.roll(v, -1, 1)
-        pos = lambda a: jnp.maximum(a, 0.0)  # noqa: E731
-        lplus = 0.25 * (pos(2 * v - up - lf) + pos(2 * v - up - rt)
-                        + pos(2 * v - dn - lf) + pos(2 * v - dn - rt))
-        return jnp.where(ring, 0.0, lplus)
+        # same formula as the windowed path — sharing it keeps the
+        # sharded/dense bit-parity guarantee in one place
+        return _win_laplacian(v, ring)
 
     clean = data
     crmask = jnp.zeros(data.shape, bool)

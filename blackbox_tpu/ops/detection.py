@@ -112,10 +112,12 @@ def label_segments(det, label_iters: int = 48):
 def detect_segments(image_bksub, bkg_std, excl_mask,
                     params: DetectParams = DetectParams(),
                     use_pallas: bool | None = None):
-    """Threshold + label.  Returns (seg compact ids (H, W), n_sources).
+    """Threshold + label.  Returns (seg (H, W) int32, n_sources).
 
-    seg is 0 for background, 1..n for sources ordered by their minimum
-    flattened pixel index (raster order of first pixel).
+    seg is 0 for background; a source's label is its ROOT pixel's flat
+    raster index + 1 (NOT a compact 1..n id — consumers compare window
+    slices against the k-th root's label from :func:`segment_roots`,
+    which is how the capacity-indexed catalog addresses segments).
 
     On TPU the whole chain — matched filter, threshold, label seeding,
     all propagation iterations and the root count — runs as ONE fused
@@ -251,8 +253,14 @@ def segment_catalog(image_bksub, bkg_std, seg, n_sources,
                                ry[slots], rx[slots], win_big,
                                n_active=cnt[-1], chunk=128)
 
+        # invalid kb entries share a clipped slot with the LAST valid
+        # one (searchsorted clamp); writing `a[slots]` back for them
+        # creates duplicate-index scatters whose order XLA leaves
+        # unspecified — route not-ok writes out of bounds and drop them
+        slots_ok = jnp.where(ok, slots, p.max_sources)
+
         def put(a, b):
-            return a.at[slots].set(jnp.where(ok, b, a[slots]))
+            return a.at[slots_ok].set(b, mode="drop")
 
         xc = put(xc, outb[0])
         yc = put(yc, outb[1])

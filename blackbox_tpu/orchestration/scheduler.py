@@ -165,10 +165,27 @@ def _run_batched_objects(pipeline, paths, db: int, report: RunReport,
             if ndev > 1 and len(ok_paths) > 1:
                 from blackbox_tpu.parallel.mesh import (make_mesh,
                                                         shard_batch)
-                mesh = make_mesh(min(ndev, len(ok_paths)), 1)
-                batch = shard_batch(batch, mesh)
-            sci_b, mask_b, stats_b, ext_b = batched(*batch, mbias,
-                                                    mflat, bpm)
+                # the mesh must divide the batch axis exactly — a
+                # partial last chunk (e.g. 6 frames on 4 devices) takes
+                # the largest divisor instead of crashing device_put
+                n = len(ok_paths)
+                nmesh = max(d for d in range(1, min(ndev, n) + 1)
+                            if n % d == 0)
+                if nmesh > 1:
+                    mesh = make_mesh(nmesh, 1)
+                    batch = shard_batch(batch, mesh)
+            try:
+                sci_b, mask_b, stats_b, ext_b = batched(*batch, mbias,
+                                                        mflat, bpm)
+            except Exception:
+                # device-side batch failure must not abort the night:
+                # contain it to this chunk and fall back per frame
+                log.exception("batched reduce failed for %d frames; "
+                              "falling back to per-frame processing",
+                              len(ok_paths))
+                for p in ok_paths:
+                    report.add(p, pipeline.process_file(p, force=force))
+                continue
             for k, p in enumerate(ok_paths):
                 sl = jax.tree_util.tree_map(lambda x: x[k], ext_b)
                 st = jax.tree_util.tree_map(lambda x: x[k], stats_b)

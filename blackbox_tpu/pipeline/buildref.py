@@ -248,7 +248,6 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
     stds = [np.asarray(inp.bkg_std, np.float32) for inp in inputs]
     msks = [np.asarray(inp.mask, np.uint8) for inp in inputs]
     Hin, Win = imgs[0].shape
-    slab_h = min(block_rows + 2 * pad_rows, Hin)
 
     fscales = np.array(
         [10.0 ** (0.4 * (zp_ref - (inp.zp - inp.extco
@@ -260,6 +259,21 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
     do_clip = s.combine_type == "clipped" and N >= s.clip.nmin_clip
     protect_radius = int(np.ceil(s.clip.protect_radius_fwhm
                                  * max(inp.fwhm_pix for inp in inputs)))
+    # blocks carry a protect-radius halo so saturation protection seen
+    # by the Gruen clipping matches the unblocked coadd_field exactly:
+    # without it, a saturated star just outside the block would leave
+    # its PSF wings unprotected across the seam
+    ext = protect_radius if do_clip else 0
+    # halo start snaps DOWN to the 32-px coarse remap lattice: the
+    # bilinear coordinate upsample then interpolates between the SAME
+    # nodes as the resident path, keeping frame-boundary fill decisions
+    # bit-aligned (an unaligned origin shifts coords by ~1e-4 px and
+    # flips in-frame tests along the first/last column)
+    erows = block_rows + 2 * ext + 32
+    # +32: remap_grid_coarse's node grid overshoots the block by up
+    # to one coarse step, and the slab must cover the overshoot node's
+    # source rows or edge blocks read truncated slabs
+    slab_h = min(erows + 32 + 2 * pad_rows, Hin)
 
     @jax.jit
     def combine_block(slab_img, slab_std, slab_msk, csy, csx, Wy, Wx,
@@ -303,12 +317,13 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
     fs_dev = jnp.asarray(fscales)
 
     def drain(pending):
-        """Materialise a finished block into the host mosaics."""
-        b0, hb, (co, wsum, nclip, mask_co) = pending
-        out_img[b0:b0 + hb] = np.asarray(co)[:hb]
-        out_wsum[b0:b0 + hb] = np.asarray(wsum)[:hb]
-        out_nclip[b0:b0 + hb] = np.asarray(nclip)[:hb]
-        out_mask[b0:b0 + hb] = np.asarray(mask_co)[:hb]
+        """Materialise a finished block's interior into the host
+        mosaics (cropping the protection halo)."""
+        b0, hb, off, (co, wsum, nclip, mask_co) = pending
+        out_img[b0:b0 + hb] = np.asarray(co)[off:off + hb]
+        out_wsum[b0:b0 + hb] = np.asarray(wsum)[off:off + hb]
+        out_nclip[b0:b0 + hb] = np.asarray(nclip)[off:off + hb]
+        out_mask[b0:b0 + hb] = np.asarray(mask_co)[off:off + hb]
 
     # 1-deep software pipeline: while the device combines block k, the
     # host prepares and transfers block k+1's slabs (JAX dispatch is
@@ -318,10 +333,12 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
     pending = None
     for b0 in range(0, H, block_rows):
         hb = min(block_rows, H - b0)
+        ey0 = max(0, ((b0 - ext) // 32) * 32)
+        off = b0 - ey0
         slabs_i, slabs_s, slabs_m, csys, csxs = [], [], [], [], []
         for i in range(N):
             sy_c, sx_c, Wy_b, Wx_b = remap_grid_coarse(
-                inputs[i].wcs, out_wcs, (block_rows, W), y0=b0)
+                inputs[i].wcs, out_wcs, (erows, W), y0=ey0)
             if Wy is None:
                 Wy, Wx = jnp.asarray(Wy_b), jnp.asarray(Wx_b)
             lo = int(np.floor(sy_c.min())) - 4
@@ -344,7 +361,7 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
             Wy, Wx, fs_dev)
         if pending is not None:
             drain(pending)
-        pending = (b0, hb, res)
+        pending = (b0, hb, off, res)
     if pending is not None:
         drain(pending)
 

@@ -306,9 +306,13 @@ class Pipeline:
             pixscale = self.settings.pixscale
         else:
             # ---- calibration (device program #1) ----
-            chan, osv, osh = self.geom.split_raw(
-                np.asarray(raw, np.float32))
-            args = (jnp.asarray(chan), jnp.asarray(osv), jnp.asarray(osh))
+            # skip the ~450 MB host split + device transfer when a
+            # batched runner already did the device work
+            if device_override is None:
+                chan, osv, osh = self.geom.split_raw(
+                    np.asarray(raw, np.float32))
+                args = (jnp.asarray(chan), jnp.asarray(osv),
+                        jnp.asarray(osh))
 
             def _master_keys(tag: str, mh):
                 # provenance of the master applied (reference MBIAS-F /
@@ -341,16 +345,18 @@ class Pipeline:
                     mb, mbh = self.masters.ensure_master("bias", date,
                                                          self.geom)
                     if mb is not None:
-                        mbias = jnp.asarray(self.geom.disassemble(
-                            np.asarray(mb, np.float32)))
+                        if device_override is None:
+                            mbias = jnp.asarray(self.geom.disassemble(
+                                np.asarray(mb, np.float32)))
                         h["MBIAS-P"] = True
                         _master_keys("BIAS", mbh)
             if imgtype == "object":
                 mf, mfh = self.masters.ensure_master("flat", date, self.geom,
                                                      filt=filt)
                 if mf is not None:
-                    mflat = jnp.asarray(self.geom.disassemble(
-                        np.asarray(mf, np.float32)))
+                    if device_override is None:
+                        mflat = jnp.asarray(self.geom.disassemble(
+                            np.asarray(mf, np.float32)))
                     h["MFLAT-P"] = True
                     _master_keys("FLAT", mfh)
 
@@ -360,7 +366,8 @@ class Pipeline:
             if imgtype in ("object", "flat"):
                 b = self._load_bpm(filt)
                 if b is not None:
-                    bpm = jnp.asarray(b)
+                    if device_override is None:
+                        bpm = jnp.asarray(b)
                     h["BPM-F"] = (os.path.basename(
                         str(self.settings.bad_pixel_mask.get(filt)
                             if isinstance(self.settings.bad_pixel_mask, dict)
@@ -605,6 +612,16 @@ class Pipeline:
         from blackbox_tpu.pipeline.headers import verify_header
         problems = verify_header(h, "full")
         if problems:
+            if reused is not None:
+                # products published by an OLDER pipeline version can
+                # miss newly-required keywords — that is a reason to
+                # recalibrate from raw, not to fail the frame
+                log.warning("reused _red header fails the current "
+                            "contract (%s); recalibrating from raw",
+                            "; ".join(problems[:3]))
+                return self._process(path, True, True, cat_extract,
+                                     trans_extract,
+                                     device_override=device_override)
             raise RuntimeError(
                 "header contract violated, not shipping: "
                 + "; ".join(problems[:8]))

@@ -82,7 +82,7 @@ def _expand_ranges(entry, filt, header=None, key=None):
                     ranges = [(2 * e, 2 * t) for e, t in ranges]
             except (TypeError, ValueError):
                 pass
-        return ranges, vt
+        return _apply_pos(entry, ranges, vt)
     if vt == "key":
         # entries may hold expression strings referencing other header
         # values (e.g. PC-MZPD <= 0.00 + 5*PC-ZPSTD, set_qc.py:334);
@@ -98,8 +98,29 @@ def _expand_ranges(entry, filt, header=None, key=None):
                         raise _SkipCheck(key)
                 vals.append(v)
             out.append(tuple(vals))
-        return out, "min_max"
-    return list(vr), vt
+        return _apply_pos(entry, out, "min_max")
+    return _apply_pos(entry, list(vr), vt)
+
+
+def _apply_pos(entry, ranges, vt):
+    """Clamp acceptance windows of 'pos'-marked keywords at 0 (the
+    reference floors range_ok's bounds, qc.py:324-329): a physically
+    positive quantity like RDNOISE or seeing must never pass on a
+    negative value just because a sigma window extends below zero."""
+    if not entry.get("pos") or vt == "bool":
+        return ranges, vt
+    conv = []
+    for r in ranges:
+        if vt == "min_max":
+            lo, hi = r
+        elif vt == "exp_abs":
+            lo, hi = r[0] - r[1], r[0] + r[1]
+        elif vt == "exp_frac":
+            lo, hi = r[0] * (1 - r[1]), r[0] * (1 + r[1])
+        else:
+            return ranges, vt
+        conv.append((max(0, lo), max(0, hi)))
+    return conv, "min_max"
 
 
 def _grade(value, ranges, vt, header) -> int:

@@ -190,6 +190,15 @@ def test_blocked_coadd_matches_resident(rng):
         img = star_image((H, W), [[float(xi), float(yi), 2.0e4 / fs, 3.0]])
         img = (img + rng.normal(0, sky_std, (H, W))).astype(np.float32)
         mask = np.zeros((H, W), np.uint8)
+        # a saturated footprint just inside block 1 (block_rows=32): its
+        # clip-protection zone crosses the block seam, which the blocked
+        # path must honour via its halo (review regression)
+        from blackbox_tpu.core import maskbits as mb
+        mask[27:30, 60:63] = mb.SATURATED
+        if i == 1:
+            # outlier in the NEXT block within the protection radius:
+            # protected (unclipped) in both paths or parity breaks
+            img[38, 61] += 40.0 * sky_std
         inputs.append(RefInput(
             image=jnp.asarray(img),
             bkg_std=jnp.full((H, W), sky_std, jnp.float32),
