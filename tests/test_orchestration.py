@@ -250,3 +250,27 @@ def test_run_day_device_batch_matches_single(tmp_path, rng):
         assert a.status == b.status == "reduced"
         assert int(a.header["NOBJECTS"]) == int(b.header["NOBJECTS"])
         assert a.header["QC-FLAG"] == b.header["QC-FLAG"]
+
+
+def test_run_day_device_batch_partial_chunk(tmp_path, rng):
+    """A chunk smaller than the device count (3 frames on the 8-device
+    CPU mesh) shards on the largest divisor instead of crashing
+    device_put with an uneven batch axis (review finding)."""
+    from blackbox_tpu.config.defaults import ReductionSettings
+    from blackbox_tpu.core.geometry import TINY
+    from blackbox_tpu.orchestration.scheduler import run_day
+    from blackbox_tpu.pipeline.driver import Pipeline
+    from blackbox_tpu.synth.observation import night_of_observations
+    from tests.test_driver import _ctx
+
+    rng_i = np.random.default_rng(5)
+    files, truths, tree = night_of_observations(
+        str(tmp_path), TINY, rng_i, date="20260402", nbias=3, nflat=3,
+        nsci=3, nstars=25, ncosmics=3, trail=False, nsat=0)
+    s = ReductionSettings(geometry=TINY, pixscale=20.0, device_batch=8)
+    pipe = Pipeline(tree, "ML1", s, _ctx(s), subtract_refs=False)
+    rep = run_day(pipe, "20260402")
+    sci = [res for _, res in rep.results
+           if res.header and str(res.header.get("IMAGETYP")) == "object"]
+    assert len(sci) == 3
+    assert all(r.status == "reduced" for r in sci)
