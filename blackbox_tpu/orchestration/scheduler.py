@@ -119,7 +119,18 @@ def _run_batched_objects(pipeline, paths, db: int, report: RunReport,
         ext = extract_catalog(ctx, sci, mask_m)
         return sci, mask_m, stats, ext
 
-    batched = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None, None, None)))
+    # lax.map over the batch axis, NOT vmap: the Pallas kernels in the
+    # extraction path (labelprop) have no vmap batching rule on TPU
+    # ("Pallas TPU lowering supports ANY-space blocks only with trivial
+    # index_map" — measured), and vmap gains nothing anyway since one
+    # frame saturates the chip (PERF_NOTES.md); sequential-on-device
+    # keeps the single-dispatch benefit
+    def batched_fn(chan_b, osv_b, osh_b, mbias, mflat, bpm):
+        return jax.lax.map(
+            lambda t: one(*t, mbias, mflat, bpm),
+            (chan_b, osv_b, osh_b))
+
+    batched = jax.jit(batched_fn)
 
     # group by (night date, filter): those share masters and BPM
     groups: dict = {}

@@ -159,4 +159,20 @@ def make_batched_reduce(ctx, mesh: Mesh, with_catalog: bool = True):
             out["cat"] = ext["cat"]
         return out
 
-    return jax.jit(jax.vmap(one))
+    # shard_map over 'data' with a SEQUENTIAL per-device lax.map, not
+    # vmap+GSPMD: the extraction path's Pallas kernels (labelprop) have
+    # no vmap batching rule on TPU ("Pallas TPU lowering supports
+    # ANY-space blocks only with trivial index_map" — measured on v5e),
+    # and one frame already saturates a chip so intra-device batching
+    # buys nothing (PERF_NOTES.md).  Devices still run their shards in
+    # parallel, and per-frame math is bit-identical to the single-frame
+    # program (lax.map cannot change reduction order; vmap could).
+    from jax.experimental.shard_map import shard_map
+
+    def per_device(chan, osv, osh):
+        return jax.lax.map(lambda t: one(*t), (chan, osv, osh))
+
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(P("data"), P("data"), P("data")),
+                   out_specs=P("data"), check_rep=False)
+    return jax.jit(fn)
