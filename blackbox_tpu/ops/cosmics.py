@@ -124,6 +124,12 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams(),
     # windows, so a per-pixel (H, W) read-noise map must take the dense
     # path (still exact, just unwindowed)
     windowed = p.windowed and jnp.ndim(rdnoise) == 0
+    if p.prescreen and not windowed:
+        raise ValueError("LACosmicParams.prescreen needs the windowed "
+                         "path, which requires a SCALAR rdnoise — a "
+                         "per-pixel read-noise map forces the dense "
+                         "path and would silently skip the requested "
+                         "pre-screen")
     if windowed:
         for it in range(p.niter):
             if it == 0 and p.prescreen:

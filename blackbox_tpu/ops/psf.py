@@ -185,14 +185,26 @@ def build_psf(image_bksub, bkg_std, cat, image_shape,
     npix = p.size * p.size
     V = Vn.reshape(-1, npix)
     K = B.shape[-1]
+    # monomial total order of each basis term (for the degradation ridge)
+    order = jnp.asarray([i + j for j in range(p.poldeg + 1)
+                         for i in range(p.poldeg + 1 - j)], jnp.float32)
 
     def solve(w_star):
         """Weighted LSQ with per-star scalar weights (median pixel weight
         × selection mask); returns (C (K, npix), chi2 per star)."""
         w = w_star[:, None]
         A = jnp.matmul(B.T * w.T, B, precision="highest")      # (K, K)
-        A = A + 1e-6 * jnp.eye(K, dtype=A.dtype) * (
-            jnp.trace(A) / K + 1e-20)
+        # graceful degradation when the star count cannot constrain the
+        # spatial terms: PSFEx lowers PSFVAR_DEGREES; the degree here is
+        # static under jit, so the under-determined orders are ridged
+        # toward zero instead (few stars -> near-constant PSF).  With a
+        # sparse fit (5-6 stars, K=6) an unregularised polynomial
+        # surface extrapolates wildly between stars and the PSF fluxes
+        # of non-PSF stars scatter by factors of several (measured).
+        nst = jnp.sum(w_star > 0.0)
+        under = jnp.maximum(3.0 * K - nst, 0.0) / (3.0 * K)
+        lam = 1e-6 + 10.0 * under * (order > 0)
+        A = A + jnp.diag(lam) * (jnp.trace(A) / K + 1e-20)
         rhs = jnp.matmul(B.T * w.T, V, precision="highest")    # (K, npix)
         C = jnp.linalg.solve(A, rhs)
         resid = V - jnp.matmul(B, C, precision="highest")

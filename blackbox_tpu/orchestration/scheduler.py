@@ -125,12 +125,33 @@ def _run_batched_objects(pipeline, paths, db: int, report: RunReport,
     # index_map" — measured), and vmap gains nothing anyway since one
     # frame saturates the chip (PERF_NOTES.md); sequential-on-device
     # keeps the single-dispatch benefit
-    def batched_fn(chan_b, osv_b, osh_b, mbias, mflat, bpm):
+    def per_device(chan_b, osv_b, osh_b, mbias, mflat, bpm):
         return jax.lax.map(
             lambda t: one(*t, mbias, mflat, bpm),
             (chan_b, osv_b, osh_b))
 
-    batched = jax.jit(batched_fn)
+    # a multi-device chunk must partition the batch axis with shard_map
+    # (masters/BPM replicated): a bare lax.map cannot be partitioned
+    # along its iteration axis, so under jit alone GSPMD would
+    # all-gather the sharded batch and every device would redundantly
+    # run the whole chunk — same shape as parallel.mesh
+    # make_batched_reduce
+    from jax.sharding import PartitionSpec as P
+    batched_cache: dict = {}
+
+    def get_batched(mesh):
+        key = None if mesh is None else mesh.devices.shape
+        if key not in batched_cache:
+            if mesh is None:
+                batched_cache[key] = jax.jit(per_device)
+            else:
+                d = P("data")
+                fn = jax.shard_map(
+                    per_device, mesh=mesh,
+                    in_specs=(d, d, d, P(), P(), P()),
+                    out_specs=d, check_vma=False)
+                batched_cache[key] = jax.jit(fn)
+        return batched_cache[key]
 
     # group by (night date, filter): those share masters and BPM
     groups: dict = {}
@@ -173,6 +194,7 @@ def _run_batched_objects(pipeline, paths, db: int, report: RunReport,
                 continue
             batch = tuple(jnp.asarray(np.stack([s[k] for s in stacks]))
                           for k in range(3))
+            mesh = None
             if ndev > 1 and len(ok_paths) > 1:
                 from blackbox_tpu.parallel.mesh import (make_mesh,
                                                         shard_batch)
@@ -186,8 +208,8 @@ def _run_batched_objects(pipeline, paths, db: int, report: RunReport,
                     mesh = make_mesh(nmesh, 1)
                     batch = shard_batch(batch, mesh)
             try:
-                sci_b, mask_b, stats_b, ext_b = batched(*batch, mbias,
-                                                        mflat, bpm)
+                sci_b, mask_b, stats_b, ext_b = get_batched(mesh)(
+                    *batch, mbias, mflat, bpm)
             except Exception:
                 # device-side batch failure must not abort the night:
                 # contain it to this chunk and fall back per frame

@@ -167,12 +167,10 @@ def make_batched_reduce(ctx, mesh: Mesh, with_catalog: bool = True):
     # buys nothing (PERF_NOTES.md).  Devices still run their shards in
     # parallel, and per-frame math is bit-identical to the single-frame
     # program (lax.map cannot change reduction order; vmap could).
-    from jax.experimental.shard_map import shard_map
-
     def per_device(chan, osv, osh):
         return jax.lax.map(lambda t: one(*t), (chan, osv, osh))
 
-    fn = shard_map(per_device, mesh=mesh,
-                   in_specs=(P("data"), P("data"), P("data")),
-                   out_specs=P("data"), check_rep=False)
+    fn = jax.shard_map(per_device, mesh=mesh,
+                       in_specs=(P("data"), P("data"), P("data")),
+                       out_specs=P("data"), check_vma=False)
     return jax.jit(fn)

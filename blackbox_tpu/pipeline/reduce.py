@@ -287,6 +287,10 @@ def extract_catalog(ctx: ReduceContext, sci, mask_m):
                                         cat["x"], cat["y"], n_active=n)
         cat["flux_psf"] = fpsf
         cat["fluxerr_psf"] = fpsf_err
+        # the optimization_barrier above REBOUND cat to fresh leaves;
+        # without this re-point the published catalog would silently
+        # lack the PSF fluxes (bug found by the fused science step)
+        out["cat"] = cat
         cen = psf_at(model, 0.5 * sci.shape[1], 0.5 * sci.shape[0])
         stats["psf_nstars"] = model.nstars
         stats["psf_chi2"] = model.chi2

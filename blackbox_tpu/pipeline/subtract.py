@@ -87,6 +87,148 @@ def _measure_scaling(new: SubtractionInput, ref: SubtractionInput,
     return fratio, fstd, dx_rms, dy_rms, int(keep.sum())
 
 
+def measure_scaling_device(new_x, new_y, new_flux, new_fluxerr, new_valid,
+                           ref_x, ref_y, ref_flux, ref_fluxerr, ref_valid,
+                           radius: float = 3.0, snr_min: float = 10.0,
+                           k: int = 512):
+    """Flux ratio + astrometric rms ON DEVICE from two padded catalogs.
+
+    The device analogue of :func:`_measure_scaling` (the reference
+    measures fratio/dx/dy inside ``optimal_subtraction`` from PSF stars;
+    zogy's get_fratio, consumed at /root/reference/buildref.py:2782-3014):
+    the brightest ``k`` valid stars of each catalog are matched by
+    nearest-neighbour distance on the NEW pixel grid (``ref_x/ref_y``
+    must already be mapped through the WCS pair), and the clipped median
+    of the PSF-flux ratios plus the rms of the matched position offsets
+    come out as traced scalars — so the whole science step can run as
+    ONE device program with no host round-trip between extraction and
+    subtraction.
+
+    Returns (fratio, fratio_std, dx_rms, dy_rms, nmatch) — same contract
+    as the host path: (1.0, 0.0, 0.5, 0.5, nmatch) when <3 matches.
+    """
+    def select(x, y, f, fe, v):
+        snr = f / jnp.maximum(fe, 1e-9)
+        ok = v & (f > 0) & (snr > snr_min)
+        score = jnp.where(ok, f, -jnp.inf)
+        kk = min(k, int(f.shape[0]))
+        sv, idx = jax.lax.top_k(score, kk)
+        return x[idx], y[idx], f[idx], jnp.isfinite(sv)
+
+    nx, ny, nf, nok = select(new_x, new_y, new_flux, new_fluxerr,
+                             new_valid)
+    rx, ry, rf, rok = select(ref_x, ref_y, ref_flux, ref_fluxerr,
+                             ref_valid)
+
+    d2 = ((nx[:, None] - rx[None, :]) ** 2
+          + (ny[:, None] - ry[None, :]) ** 2)
+    d2 = jnp.where(nok[:, None] & rok[None, :], d2, jnp.inf)
+    j = jnp.argmin(d2, axis=1)
+    mind2 = jnp.min(d2, axis=1)
+    matched = mind2 < radius ** 2
+
+    r = jnp.where(matched, rf[j] / jnp.maximum(nf, 1e-9), jnp.nan)
+    med = jnp.nanmedian(r)
+    mad = 1.4826 * jnp.nanmedian(jnp.abs(r - med)) + 1e-9
+    keep = matched & (jnp.abs(r - med) < 3 * mad)
+    rk = jnp.where(keep, r, jnp.nan)
+    fratio = jnp.nan_to_num(jnp.nanmedian(rk), nan=1.0)
+    fstd = jnp.nan_to_num(jnp.nanstd(rk), nan=0.0)
+
+    dx = jnp.where(keep, nx - rx[j], jnp.nan)
+    dy = jnp.where(keep, ny - ry[j], jnp.nan)
+
+    def rms(d):
+        c = d - jnp.nanmedian(d)
+        return jnp.sqrt(jnp.nan_to_num(jnp.nanmean(c ** 2))) + 1e-3
+
+    nmatch = jnp.sum(keep)
+    enough = nmatch >= 3
+    fratio = jnp.where(enough, fratio, 1.0)
+    fstd = jnp.where(enough, fstd, 0.0)
+    dx_rms = jnp.where(enough, rms(dx), 0.5)
+    dy_rms = jnp.where(enough, rms(dy), 0.5)
+    return fratio, fstd, dx_rms, dy_rms, nmatch
+
+
+def fused_science_step(ctx, chan_data, os_vert, os_hori, mbias, mflat,
+                       bpm, xtalk_coeffs,
+                       ref_sub, ref_std, ref_mask, ys, xs, psf_ref, sr,
+                       ref_cat: dict,
+                       zogy_params: ZogyParams = ZogyParams(),
+                       trans_params: TransientParams = TransientParams()):
+    """ONE traced program: raw channel stacks -> transient catalog.
+
+    The reference's full per-science-frame flow — calibration chain,
+    extraction, ref remap, ZOGY statistics, transient extraction +
+    vetting (/root/reference/blackbox.py:1474-1991 then 2429-2568) — as
+    a single jittable function, so XLA fuses across the stage boundaries
+    and the frame never syncs to host mid-flight.
+
+    chan_data/os_vert/os_hori : raw channel stacks (split_raw layout)
+    mbias/mflat/bpm/xtalk_coeffs : calibration inputs (may be None)
+    ref_sub  : (H, W) background-SUBTRACTED reference on the REF grid
+    ref_std  : (H, W) ref background STD map
+    ref_mask : (H, W) uint8 ref mask
+    ys, xs   : remap grids (new pixel -> ref pixel coords; host WCS math)
+    psf_ref  : (S, S) ref PSF stamp sampled at the frame centre
+    sr       : scalar ref background STD (median of ref_std)
+    ref_cat  : dict with x/y (on the NEW grid), flux, fluxerr, valid —
+               padded device arrays for the on-device fratio/dx/dy match
+
+    Requires ``ctx.fit_psf`` (the new-frame PSF stamp and PSF fluxes
+    feed the match and the ZOGY kernels).
+    """
+    from blackbox_tpu.pipeline.reduce import (calibrate_detector,
+                                              extract_catalog)
+
+    if not ctx.fit_psf:
+        raise ValueError("fused_science_step needs ctx.fit_psf: the "
+                         "new-frame PSF stamp and PSF fluxes feed the "
+                         "flux-ratio match and the ZOGY kernels")
+    sci, mask_m, stats = calibrate_detector(
+        ctx, chan_data, os_vert, os_hori, mbias, mflat, bpm, xtalk_coeffs)
+    ext = extract_catalog(ctx, sci, mask_m)
+    cat = ext["cat"]
+
+    fratio, fstd, dx_rms, dy_rms, nmatch = measure_scaling_device(
+        cat["x"], cat["y"], cat["flux_psf"], cat["fluxerr_psf"],
+        cat["valid"], ref_cat["x"], ref_cat["y"], ref_cat["flux"],
+        ref_cat["fluxerr"], ref_cat["valid"])
+
+    H, W = sci.shape
+    psf_n = psf_at(ext["psf"], 0.5 * W, 0.5 * H)
+
+    ref_sub_r = lanczos_resample(ref_sub, ys, xs)
+    ref_std_r = nearest_resample(ref_std, ys, xs, fill=sr)
+    ref_mask_r = nearest_resample(ref_mask, ys, xs,
+                                  fill=jnp.uint8(maskbits.EDGE))
+
+    # traced dx/dy ride the params dataclass straight into the
+    # astrometric-variance term (the dataclass is never hashed here)
+    zp = dataclasses.replace(zogy_params, dx=dx_rms, dy=dy_rms)
+    sn = ext["stats"]["bkg_std"]
+    out = zogy_subtract(sci - ext["bkg"], ref_sub_r, psf_n, psf_ref,
+                        sn, sr, fn=1.0, fr=fratio,
+                        var_bkg_new=ext["bkg_std"] ** 2,
+                        var_bkg_ref=ref_std_r ** 2, params=zp,
+                        want_psf_d=False)
+    tcat, ntrans = extract_transients(out, mask_m, ref_mask_r,
+                                      trans_params)
+
+    tstats = transient_stats(tcat, ntrans)
+    tstats.update({"z_fratio": fratio, "z_fratio_std": fstd,
+                   "z_dxrms": dx_rms, "z_dyrms": dy_rms,
+                   "z_nmatch": nmatch, "z_fd": out["F_D"]})
+    return {"image": sci, "mask": mask_m,
+            "stats": {**stats, **ext["stats"]},
+            "cat": cat, "bkg": ext["bkg"], "bkg_std": ext["bkg_std"],
+            "psf": ext["psf"], "seg_nsources": ext["seg_nsources"],
+            "D": out["D"], "Scorr": out["Scorr"], "Fpsf": out["Fpsf"],
+            "Fpsferr": out["Fpsferr"],
+            "trans_cat": tcat, "trans_stats": tstats}
+
+
 @dataclasses.dataclass
 class SubtractionResult:
     D: jnp.ndarray

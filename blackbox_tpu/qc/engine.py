@@ -82,7 +82,7 @@ def _expand_ranges(entry, filt, header=None, key=None):
                     ranges = [(2 * e, 2 * t) for e, t in ranges]
             except (TypeError, ValueError):
                 pass
-        return _apply_pos(entry, ranges, vt)
+        return ranges, vt
     if vt == "key":
         # entries may hold expression strings referencing other header
         # values (e.g. PC-MZPD <= 0.00 + 5*PC-ZPSTD, set_qc.py:334);
@@ -98,29 +98,31 @@ def _expand_ranges(entry, filt, header=None, key=None):
                         raise _SkipCheck(key)
                 vals.append(v)
             out.append(tuple(vals))
-        return _apply_pos(entry, out, "min_max")
-    return _apply_pos(entry, list(vr), vt)
+        return out, "min_max"
+    return list(vr), vt
 
 
-def _apply_pos(entry, ranges, vt):
-    """Clamp acceptance windows of 'pos'-marked keywords at 0 (the
-    reference floors range_ok's bounds, qc.py:324-329): a physically
-    positive quantity like RDNOISE or seeing must never pass on a
-    negative value just because a sigma window extends below zero."""
-    if not entry.get("pos") or vt == "bool":
-        return ranges, vt
-    conv = []
-    for r in ranges:
-        if vt == "min_max":
-            lo, hi = r
-        elif vt == "exp_abs":
-            lo, hi = r[0] - r[1], r[0] + r[1]
-        elif vt == "exp_frac":
-            lo, hi = r[0] * (1 - r[1]), r[0] * (1 + r[1])
-        else:
-            return ranges, vt
-        conv.append((max(0, lo), max(0, hi)))
-    return conv, "min_max"
+def _report_range(entry, r, vt):
+    """The (lo, hi) window to REPORT for a graded keyword.  For
+    'pos'-marked keywords the reference floors only this reported
+    range_ok at 0 (qc.py:324-329) — the pass/fail test itself stays the
+    raw exp_abs/exp_frac/min_max check, so a slightly negative value of
+    a pos keyword still greens if the raw window admits it."""
+    if r is None or vt == "bool":
+        return r
+    if vt == "min_max":
+        lo, hi = r
+    elif vt == "exp_abs":
+        lo, hi = r[0] - r[1], r[0] + r[1]
+    elif vt == "exp_frac":
+        lo, hi = r[0] * (1 - r[1]), r[0] * (1 + r[1])
+        if lo > hi:          # negative expectation inverts the window
+            lo, hi = hi, lo
+    else:
+        return r
+    if entry.get("pos"):
+        lo, hi = max(0, lo), max(0, hi)
+    return (lo, hi)
 
 
 def _grade(value, ranges, vt, header) -> int:
@@ -186,8 +188,9 @@ def qc_check(header, ranges_table, telescope: str = "ML1",
         if ci > 0 or not hide_greens:
             out_keys.append(key)
             out_colors.append(COLORS[ci])
-            out_ranges.append(ranges[min(ci, len(ranges) - 1)]
-                              if ranges else None)
+            out_ranges.append(_report_range(
+                entry, ranges[min(ci, len(ranges) - 1)] if ranges else None,
+                vt if ranges else entry["val_type"]))
             out_comments.append(entry.get("comment", ""))
     return QCResult(COLORS[worst], out_keys, out_colors, out_ranges,
                     out_comments)

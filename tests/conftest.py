@@ -41,6 +41,22 @@ import pytest  # noqa: E402
 from blackbox_tpu.core.geometry import TINY  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked @pytest.mark.slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    # default-fast suite: slow marks deselect unless --runslow is given
+    # (the full suite takes >9 min on a 1-core host)
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: enable with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def geom():
     return TINY

@@ -218,6 +218,7 @@ def test_pubsub_event_parsing():
     assert parse_bucket_event(b"not json") is None
 
 
+@pytest.mark.slow
 def test_run_day_device_batch_matches_single(tmp_path, rng):
     """device_batch > 1: science device work runs as a sharded batch;
     published headers must match the per-frame path."""
@@ -252,6 +253,7 @@ def test_run_day_device_batch_matches_single(tmp_path, rng):
         assert a.header["QC-FLAG"] == b.header["QC-FLAG"]
 
 
+@pytest.mark.slow
 def test_run_day_device_batch_partial_chunk(tmp_path, rng):
     """A chunk smaller than the device count (3 frames on the 8-device
     CPU mesh) shards on the largest divisor instead of crashing

@@ -30,6 +30,7 @@ def _ctx():
         bkg_boxsize=33, apphot_radii=(2.0, 4.5, 9.0))
 
 
+@pytest.mark.slow
 def test_batched_reduce_matches_single(rng):
     """8-way data-parallel reduce == per-frame reduce, bit for bit."""
     ctx = _ctx()

@@ -1,5 +1,6 @@
 """Device-side synthetic frame generator (synth/device.py)."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -26,6 +27,7 @@ def test_shapes_and_stats():
     assert len(truth["x"]) == 31                 # stars + saturating star
 
 
+@pytest.mark.slow
 def test_matches_pipeline_contract():
     """The generated stacks run through the reduce pipeline."""
     from blackbox_tpu.config.defaults import ReductionSettings

@@ -236,6 +236,7 @@ def test_verify_header_blocks_shipping(tmp_path, rng, monkeypatch):
                          recursive=True)
 
 
+@pytest.mark.slow
 def test_granular_resume_reuses_published_red(tmp_path, rng):
     # frame missing only its catalog must NOT recalibrate from raw
     # (reference skip logic blackbox.py:2096-2190)
@@ -278,6 +279,7 @@ def test_create_master_gate(tmp_path, rng):
     assert data is not None
 
 
+@pytest.mark.slow
 def test_create_ref_adopts_frame(tmp_path, rng):
     # no reference for the field + create_ref=True: the first green
     # frame becomes the field reference (blackbox.py:2330-2345), and
