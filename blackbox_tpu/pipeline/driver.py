@@ -99,6 +99,16 @@ class Pipeline:
         self.ext_coeff = ext_coeff
         self.subtract_refs = subtract_refs
         self.sso_elements = sso_elements or []
+        # MPCORB ingestion (reference: match2SSO consumes the nightly
+        # MPCORB download; here a settings path loads it directly)
+        mpcorb = getattr(self.settings, "mpcorb_file", None)
+        if not self.sso_elements and mpcorb:
+            try:
+                from blackbox_tpu.sso.mpcorb import parse_mpcorb
+                self.sso_elements = parse_mpcorb(mpcorb)
+            except OSError:
+                log.warning("mpcorb_file %s unreadable; SSO matching off",
+                            mpcorb)
         self.update_headertables = update_headertables
         # survey field grid {field_id: (ra, dec)} for the RADECOFF
         # pointing check (reference blackbox.py:5529-5594)
@@ -892,7 +902,8 @@ class Pipeline:
         if self.sso_elements:
             from blackbox_tpu.sso.match import annotate_transients
             tcols = annotate_transients(tcols, float(h["MJD-OBS"]),
-                                        self.sso_elements)
+                                        self.sso_elements,
+                                        site=self.site)
             h["SSO-P"] = (True, "transients matched to known SSOs?")
             h["N-SSO"] = (int(np.sum(tcols["SSO_DESIG"] != "")),
                           "number of SSO matches")
