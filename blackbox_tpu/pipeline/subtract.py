@@ -153,7 +153,7 @@ def measure_scaling_device(new_x, new_y, new_flux, new_fluxerr, new_valid,
 
 def fused_science_step(ctx, chan_data, os_vert, os_hori, mbias, mflat,
                        bpm, xtalk_coeffs,
-                       ref_sub, ref_std, ref_mask, ys, xs, psf_ref, sr,
+                       ref_sub, ref_std, ref_mask, grid, psf_ref, sr,
                        ref_cat: dict,
                        zogy_params: ZogyParams = ZogyParams(),
                        trans_params: TransientParams = TransientParams()):
@@ -170,7 +170,15 @@ def fused_science_step(ctx, chan_data, os_vert, os_hori, mbias, mflat,
     ref_sub  : (H, W) background-SUBTRACTED reference on the REF grid
     ref_std  : (H, W) ref background STD map
     ref_mask : (H, W) uint8 ref mask
-    ys, xs   : remap grids (new pixel -> ref pixel coords; host WCS math)
+    grid     : remap grids (new pixel -> ref pixel coords; host WCS
+               math).  Either (ys, xs) full (H, W) arrays, or the
+               4-tuple (sy, sx, Wy, Wx) from
+               :func:`blackbox_tpu.ops.warp.remap_grid_coarse` —
+               PREFERRED: the coarse nodes upsample on device with two
+               small matmuls, so the two full-frame coordinate planes
+               are program intermediates instead of ~0.9 GB of pinned
+               input buffers (the fused program is HBM-liveness bound
+               at full scale)
     psf_ref  : (S, S) ref PSF stamp sampled at the frame centre
     sr       : scalar ref background STD (median of ref_std)
     ref_cat  : dict with x/y (on the NEW grid), flux, fluxerr, valid —
@@ -179,26 +187,60 @@ def fused_science_step(ctx, chan_data, os_vert, os_hori, mbias, mflat,
     Requires ``ctx.fit_psf`` (the new-frame PSF stamp and PSF fluxes
     feed the match and the ZOGY kernels).
     """
+    front = _science_front(ctx, chan_data, os_vert, os_hori, mbias,
+                           mflat, bpm, xtalk_coeffs)
+    back = _science_back(front["sub"], front["bkg_std"], front["mask"],
+                         front["psf_centre"], front["cat"],
+                         front["stats"]["bkg_std"],
+                         ref_sub, ref_std, ref_mask, grid, psf_ref, sr,
+                         ref_cat, zogy_params, trans_params)
+    out = {k: v for k, v in front.items()
+           if k not in ("sub", "psf_centre")}
+    out.update(back)
+    return out
+
+
+def _science_front(ctx, chan_data, os_vert, os_hori, mbias, mflat,
+                   bpm, xtalk_coeffs):
+    """Calibrate + extract + PSF-stamp: the pre-FFT half of the science
+    step (one traced function)."""
     from blackbox_tpu.pipeline.reduce import (calibrate_detector,
                                               extract_catalog)
 
     if not ctx.fit_psf:
-        raise ValueError("fused_science_step needs ctx.fit_psf: the "
+        raise ValueError("the fused science step needs ctx.fit_psf: the "
                          "new-frame PSF stamp and PSF fluxes feed the "
                          "flux-ratio match and the ZOGY kernels")
     sci, mask_m, stats = calibrate_detector(
         ctx, chan_data, os_vert, os_hori, mbias, mflat, bpm, xtalk_coeffs)
     ext = extract_catalog(ctx, sci, mask_m)
-    cat = ext["cat"]
+    H, W = sci.shape
+    return {"image": sci, "mask": mask_m,
+            "stats": {**stats, **ext["stats"]},
+            "cat": ext["cat"], "bkg": ext["bkg"],
+            "bkg_std": ext["bkg_std"], "psf": ext["psf"],
+            "seg_nsources": ext["seg_nsources"],
+            "sub": sci - ext["bkg"],
+            "psf_centre": psf_at(ext["psf"], 0.5 * W, 0.5 * H)}
 
+
+def _science_back(sub, bstd, mask_m, psf_n, cat, sn,
+                  ref_sub, ref_std, ref_mask, grid, psf_ref, sr,
+                  ref_cat, zogy_params, trans_params):
+    """Scaling match + remap + ZOGY + transient extraction: the FFT
+    half of the science step (one traced function)."""
     fratio, fstd, dx_rms, dy_rms, nmatch = measure_scaling_device(
         cat["x"], cat["y"], cat["flux_psf"], cat["fluxerr_psf"],
         cat["valid"], ref_cat["x"], ref_cat["y"], ref_cat["flux"],
         ref_cat["fluxerr"], ref_cat["valid"])
 
-    H, W = sci.shape
-    psf_n = psf_at(ext["psf"], 0.5 * W, 0.5 * H)
-
+    if len(grid) == 4:
+        from blackbox_tpu.ops.warp import upsample_grid
+        sy, sx, Wy, Wx = grid
+        ys = upsample_grid(sy, Wy, Wx)
+        xs = upsample_grid(sx, Wy, Wx)
+    else:
+        ys, xs = grid
     ref_sub_r = lanczos_resample(ref_sub, ys, xs)
     ref_std_r = nearest_resample(ref_std, ys, xs, fill=sr)
     ref_mask_r = nearest_resample(ref_mask, ys, xs,
@@ -207,10 +249,9 @@ def fused_science_step(ctx, chan_data, os_vert, os_hori, mbias, mflat,
     # traced dx/dy ride the params dataclass straight into the
     # astrometric-variance term (the dataclass is never hashed here)
     zp = dataclasses.replace(zogy_params, dx=dx_rms, dy=dy_rms)
-    sn = ext["stats"]["bkg_std"]
-    out = zogy_subtract(sci - ext["bkg"], ref_sub_r, psf_n, psf_ref,
+    out = zogy_subtract(sub, ref_sub_r, psf_n, psf_ref,
                         sn, sr, fn=1.0, fr=fratio,
-                        var_bkg_new=ext["bkg_std"] ** 2,
+                        var_bkg_new=bstd ** 2,
                         var_bkg_ref=ref_std_r ** 2, params=zp,
                         want_psf_d=False)
     tcat, ntrans = extract_transients(out, mask_m, ref_mask_r,
@@ -220,13 +261,49 @@ def fused_science_step(ctx, chan_data, os_vert, os_hori, mbias, mflat,
     tstats.update({"z_fratio": fratio, "z_fratio_std": fstd,
                    "z_dxrms": dx_rms, "z_dyrms": dy_rms,
                    "z_nmatch": nmatch, "z_fd": out["F_D"]})
-    return {"image": sci, "mask": mask_m,
-            "stats": {**stats, **ext["stats"]},
-            "cat": cat, "bkg": ext["bkg"], "bkg_std": ext["bkg_std"],
-            "psf": ext["psf"], "seg_nsources": ext["seg_nsources"],
-            "D": out["D"], "Scorr": out["Scorr"], "Fpsf": out["Fpsf"],
+    return {"D": out["D"], "Scorr": out["Scorr"], "Fpsf": out["Fpsf"],
             "Fpsferr": out["Fpsferr"],
             "trans_cat": tcat, "trans_stats": tstats}
+
+
+def make_science_programs(ctx, xtalk_coeffs=None,
+                          zogy_params: ZogyParams = ZogyParams(),
+                          trans_params: TransientParams =
+                          TransientParams(), donate: bool = True):
+    """The production full-scale raw->transient path as TWO jitted
+    device programs dispatched back-to-back with NO host sync between
+    them.
+
+    A single traced program (:func:`fused_science_step`) needs ~19-24 GB
+    of peak HBM at full MeerLICHT scale — the XLA scheduler keeps the
+    extraction intermediates alive across the 10.7k² FFT chain — and
+    does not fit a 16 GB v5e.  Splitting at the natural FFT boundary
+    lets every extraction buffer die with program 1, and ``donate=True``
+    hands program 1's outputs (sub, bkg_std) to program 2 as reusable
+    scratch.  The host enqueues both programs asynchronously; the frame
+    never leaves the device, so end-to-end latency is the sum the
+    benches measure.
+
+    Returns (front, back):
+      front(chan, osv, osh, mbias, mflat, bpm) -> dict incl. sub/cat/...
+      back(sub, bkg_std, mask, psf_centre, cat, sn, ref_sub, ref_std,
+           ref_mask, grid, psf_ref, sr, ref_cat) -> dict (D, Scorr,
+           Fpsf, Fpsferr, trans_cat, trans_stats)
+    """
+    import jax
+
+    def front(chan, osv, osh, mbias, mflat, bpm):
+        return _science_front(ctx, chan, osv, osh, mbias, mflat, bpm,
+                              xtalk_coeffs)
+
+    def back(sub, bstd, mask_m, psf_n, cat, sn, ref_sub, ref_std,
+             ref_mask, grid, psf_ref, sr, ref_cat):
+        return _science_back(sub, bstd, mask_m, psf_n, cat, sn,
+                             ref_sub, ref_std, ref_mask, grid, psf_ref,
+                             sr, ref_cat, zogy_params, trans_params)
+
+    return (jax.jit(front),
+            jax.jit(back, donate_argnums=(0, 1) if donate else ()))
 
 
 @dataclasses.dataclass

@@ -204,7 +204,7 @@ def test_fused_science_step_end_to_end():
     fused = jax.jit(lambda *a: fused_science_step(
         ctx, *a, trans_params=TransientParams(label_iters=16)))
     out = fused(chan_new, osv, osh, None, mflat, None, None,
-                ref_sub, ref_std, mask_m, ys, xs, psf_r, sr, ref_cat)
+                ref_sub, ref_std, mask_m, (ys, xs), psf_r, sr, ref_cat)
 
     # the flux ratio and registration are recovered on device
     ts = {k: float(np.asarray(v)) for k, v in out["trans_stats"].items()}
