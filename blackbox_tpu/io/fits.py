@@ -14,6 +14,7 @@ store (SURVEY.md §5.5).
 
 from __future__ import annotations
 
+import contextlib
 import gzip
 from typing import Any, Iterable, Optional
 
@@ -21,6 +22,30 @@ import numpy as np
 
 BLOCK = 2880
 CARD = 80
+
+
+@contextlib.contextmanager
+def open_path(path: str, mode: str):
+    """Open a POSIX or gs:// path, transparently (de)compressing .gz.
+
+    Routes through :func:`blackbox_tpu.io.storage.get_backend` so every
+    FITS product reads/writes identically on the local filesystem and
+    on a bucket (the reference branches on the gs:// prefix in each
+    helper, blackbox.py:7664-7766)."""
+    from blackbox_tpu.io.storage import get_backend
+    fh = get_backend(path).open(path, mode)
+    try:
+        if str(path).endswith(".gz"):
+            gz = gzip.GzipFile(fileobj=fh,
+                               mode="rb" if "r" in mode else "wb")
+            try:
+                yield gz
+            finally:
+                gz.close()
+        else:
+            yield fh
+    finally:
+        fh.close()
 
 _BITPIX = {
     np.dtype(">u1"): 8, np.dtype(">i2"): 16, np.dtype(">i4"): 32,
@@ -223,8 +248,7 @@ def write_image(path: str, data: Optional[np.ndarray],
     ("table", dict_of_columns, header) tuples.
     """
     header = header or Header()
-    opener = gzip.open if str(path).endswith(".gz") else open
-    with opener(path, "wb") as fh:
+    with open_path(path, "wb") as fh:
         _write_image_hdu(fh, data, header, primary=True,
                          extend=bool(extensions))
         for ext in extensions:
@@ -387,9 +411,8 @@ def _write_table_hdu(fh, columns: dict, header: Header):
 def read_fits(path: str):
     """Read all HDUs.  Returns list of (data, Header); table HDUs return
     dict-of-columns data."""
-    opener = gzip.open if str(path).endswith(".gz") else open
     out = []
-    with opener(path, "rb") as fh:
+    with open_path(path, "rb") as fh:
         while True:
             try:
                 h = _read_header(fh)

@@ -255,11 +255,11 @@ def write_rice(path: str, data: np.ndarray, header: Header | None = None,
     cols = {"COMPRESSED_DATA": comp,
             "ZSCALE": np.asarray(zscales, np.float64),
             "ZZERO": np.asarray(zzeros, np.float64)}
-    d = os.path.dirname(path)
-    if d:
-        os.makedirs(d, exist_ok=True)
-    with open(path, "wb") as fh:
-        from blackbox_tpu.io.fits import _write_image_hdu, _write_table_hdu
+    from blackbox_tpu.io.storage import get_backend
+    get_backend(path).make_dir(os.path.dirname(path))
+    from blackbox_tpu.io.fits import (_write_image_hdu, _write_table_hdu,
+                                      open_path)
+    with open_path(path, "wb") as fh:
         _write_image_hdu(fh, None, Header(), primary=True, extend=True)
         _write_table_hdu(fh, cols, h)
 

@@ -73,61 +73,92 @@ class PosixBackend:
 
 
 class GCSBackend:
-    """Google Cloud Storage via gcsfs; constructor raises if unavailable.
+    """Google Cloud Storage behind a gcsfs-compatible filesystem.
 
     Mirrors the reference's gsutil/google.cloud.storage usage
-    (blackbox.py:7826-7852; blackbox_slurm_google.py:1144-1510).
+    (blackbox.py:7826-7852; blackbox_slurm_google.py:1144-1510),
+    including its x3 retry on failed copies (blackbox.py:7836-7852,
+    7939-7957) — here every operation retries with exponential backoff,
+    since GCS transients hit reads and listings as much as copies.
+
+    ``fs`` defaults to a real ``gcsfs.GCSFileSystem`` (constructor
+    raises if the package is missing); tests and local dev inject
+    :class:`blackbox_tpu.io.fakegcs.FakeGCSFileSystem` via
+    :func:`set_gcs_filesystem`.
     """
 
-    def __init__(self):
-        try:
-            import gcsfs  # type: ignore
-        except ImportError as e:          # pragma: no cover - env-gated
-            raise RuntimeError(
-                "gs:// paths need the gcsfs package; not available in "
-                "this environment") from e
-        self.fs = gcsfs.GCSFileSystem()   # pragma: no cover
+    def __init__(self, fs=None, retries: int = 3, backoff: float = 0.5):
+        if fs is None:                    # pragma: no cover - env-gated
+            try:
+                import gcsfs  # type: ignore
+            except ImportError as e:
+                raise RuntimeError(
+                    "gs:// paths need the gcsfs package; not available "
+                    "in this environment") from e
+            fs = gcsfs.GCSFileSystem()
+        self.fs = fs
+        self.retries = int(retries)
+        self.backoff = float(backoff)
 
-    # protocol methods delegate to gcsfs — exercised only on cluster
-    def exists(self, path):               # pragma: no cover
-        return self.fs.exists(_strip(path))
+    def _retry(self, op, *args):
+        import time as _time
+        last = None
+        for attempt in range(self.retries):
+            try:
+                return op(*args)
+            except FileNotFoundError:
+                raise                     # definitive, not transient
+            except Exception as e:        # noqa: BLE001 - fs-specific
+                last = e
+                if attempt + 1 < self.retries and self.backoff > 0:
+                    _time.sleep(self.backoff * 2 ** attempt)
+        raise last
 
-    def isfile(self, path):               # pragma: no cover
-        return self.fs.isfile(_strip(path))
+    def exists(self, path):
+        return self._retry(self.fs.exists, _strip(path))
 
-    def isdir(self, path):                # pragma: no cover
-        return self.fs.isdir(_strip(path))
+    def isfile(self, path):
+        return self._retry(self.fs.isfile, _strip(path))
 
-    def open(self, path, mode="rb"):      # pragma: no cover
-        return self.fs.open(_strip(path), mode)
+    def isdir(self, path):
+        return self._retry(self.fs.isdir, _strip(path))
 
-    def read_bytes(self, path):           # pragma: no cover
-        return self.fs.cat(_strip(path))
+    def open(self, path, mode="rb"):
+        return self._retry(self.fs.open, _strip(path), mode)
 
-    def write_bytes(self, path, data):    # pragma: no cover
-        with self.fs.open(_strip(path), "wb") as fh:
-            fh.write(data)
+    def read_bytes(self, path):
+        return self._retry(self.fs.cat, _strip(path))
 
-    def make_dir(self, path):             # pragma: no cover
+    def write_bytes(self, path, data):
+        def _write():
+            # one-shot object write: GCS publication is atomic per
+            # object, the reference's .part/rename dance is POSIX-only
+            with self.fs.open(_strip(path), "wb") as fh:
+                fh.write(data)
+        self._retry(_write)
+
+    def make_dir(self, path):
         pass                              # buckets have no directories
 
-    def list_files(self, pattern):        # pragma: no cover
-        return ["gs://" + p for p in self.fs.glob(_strip(pattern))]
+    def list_files(self, pattern):
+        hits = self._retry(self.fs.glob, _strip(pattern))
+        return ["gs://" + p for p in hits if self.fs.isfile(p)]
 
-    def list_folders(self, pattern):      # pragma: no cover
-        return ["gs://" + p for p in self.fs.glob(_strip(pattern))]
+    def list_folders(self, pattern):
+        hits = self._retry(self.fs.glob, _strip(pattern))
+        return ["gs://" + p for p in hits if self.fs.isdir(p)]
 
-    def remove(self, path):               # pragma: no cover
-        self.fs.rm(_strip(path), recursive=True)
+    def remove(self, path):
+        self._retry(self.fs.rm, _strip(path), True)
 
-    def copy(self, src, dst):             # pragma: no cover
-        self.fs.copy(_strip(src), _strip(dst))
+    def copy(self, src, dst):
+        self._retry(self.fs.copy, _strip(src), _strip(dst))
 
-    def size(self, path):                 # pragma: no cover
-        return self.fs.size(_strip(path))
+    def size(self, path):
+        return self._retry(self.fs.size, _strip(path))
 
-    def mtime(self, path):                # pragma: no cover
-        return self.fs.modified(_strip(path)).timestamp()
+    def mtime(self, path):
+        return self._retry(self.fs.modified, _strip(path)).timestamp()
 
 
 def _strip(path: str) -> str:
@@ -146,6 +177,15 @@ def get_backend(path: str):
             _GCS = GCSBackend()
         return _GCS
     return _POSIX
+
+
+def set_gcs_filesystem(fs, retries: int = 3, backoff: float = 0.5):
+    """Install the filesystem behind gs:// paths (None resets to the
+    default gcsfs-on-first-use).  Tests/local dev pass a
+    :class:`blackbox_tpu.io.fakegcs.FakeGCSFileSystem`."""
+    global _GCS
+    _GCS = None if fs is None else GCSBackend(fs, retries=retries,
+                                              backoff=backoff)
 
 
 # ---- convenience wrappers used across the framework ----
@@ -186,6 +226,15 @@ def copy_files(files: Iterable[str], dest_dir: str):
     out = []
     for f in files:
         dst = os.path.join(dest_dir, os.path.basename(f))
-        get_backend(f).copy(f, dst)
+        copy_file(f, dst)
         out.append(dst)
     return out
+
+
+def copy_file(src: str, dst: str):
+    """Copy across backends (upload/download when schemes differ)."""
+    b_src, b_dst = get_backend(src), get_backend(dst)
+    if b_src is b_dst:
+        b_src.copy(src, dst)
+    else:
+        b_dst.write_bytes(dst, b_src.read_bytes(src))

@@ -522,9 +522,10 @@ def build_reference(tree, telescope: str, field_id: int, filt: str,
             return "not_deeper", {"limmag": limmag, "old": old_lim}
         # archive, don't delete (ref-old semantics)
         arch = os.path.join(rdir, "ref-old")
-        get_backend(arch).make_dir(arch)
+        be = get_backend(arch)
+        be.make_dir(arch)
         for f in list_files(os.path.join(rdir, "*")):
-            if os.path.isfile(f):
+            if get_backend(f).isfile(f):
                 get_backend(f).copy(f, os.path.join(
                     arch, os.path.basename(f)))
                 get_backend(f).remove(f)
