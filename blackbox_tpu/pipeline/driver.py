@@ -159,8 +159,17 @@ class Pipeline:
         if self.ctx.correct_nonlin and \
                 getattr(self.settings, "nonlin_corr_file", None):
             try:
-                self.nonlin_coeffs = np.load(self._cal_path(
-                    self.settings.nonlin_corr_file)).astype(np.float32)
+                p = self._cal_path(self.settings.nonlin_corr_file)
+                if str(p).endswith(".pkl"):
+                    # reference production format: pickled per-channel
+                    # scipy splines — convert in place
+                    from blackbox_tpu.ops.nonlin import (
+                        convert_reference_splines)
+                    self.nonlin_coeffs, err = convert_reference_splines(p)
+                    log.info("converted nonlin splines %s (max |dfrac| "
+                             "%.1e)", p, err)
+                else:
+                    self.nonlin_coeffs = np.load(p).astype(np.float32)
             except Exception:
                 log.exception("could not load non-linearity coefficients "
                               "from %s", self.settings.nonlin_corr_file)

@@ -334,3 +334,58 @@ def test_size_vignet_plumbed():
     # capped at the design stamp (and kept odd)
     s2 = ReductionSettings(geometry=TINY, size_vignet=99)
     assert ReduceContext.from_settings(s2, "ML1").psf_params.size == 25
+
+
+def test_nonlin_spline_converter_roundtrip(tmp_path):
+    """Reference-format pickled splines -> poly coeffs: |dcorrection|
+    < 1e-4 over 0-50k ADU, and the driver loads .pkl files directly."""
+    import pickle
+
+    from scipy.interpolate import UnivariateSpline
+
+    from blackbox_tpu.ops.nonlin import (convert_reference_splines,
+                                         convert_reference_splines_to_npy)
+
+    # synthetic per-channel correction curves shaped like detector
+    # nonlinearity: smooth, ~1% scale, zero-ish at low ADU
+    C = TINY.n_chan
+    adu_k = np.linspace(0.0, 50000.0, 200)
+    rng2 = np.random.default_rng(11)
+    splines = []
+    for c in range(C):
+        a = 0.004 + 0.006 * rng2.uniform()
+        frac = (a * (adu_k / 5e4) ** 2 - 0.5 * a * (adu_k / 5e4) ** 3
+                + 0.001 * np.sin(adu_k / 5e4 * 3.0 + c))
+        splines.append(UnivariateSpline(adu_k, frac, k=3, s=0))
+    pkl = tmp_path / "nonlin_splines_20200501.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(splines, f)
+
+    coeffs, err = convert_reference_splines(str(pkl))
+    assert coeffs.shape[0] == C
+    assert err < 1e-4
+
+    # evaluate the device poly against the pickled spline: the
+    # CORRECTION (frac) must round-trip below the 1e-4 parity budget
+    import jax.numpy as jnp
+    from blackbox_tpu.ops.polyfit import polyval_norm
+    adu = np.linspace(0.0, 50000.0, 3000)
+    got = np.asarray(polyval_norm(jnp.asarray(coeffs),
+                                  jnp.asarray(np.tile(adu, (C, 1)),
+                                              jnp.float32),
+                                  0.0, 50000.0))
+    want = np.stack([s(adu) for s in splines])
+    assert np.max(np.abs(got - want)) < 1e-4
+
+    # file converter + driver .pkl ingestion path
+    npy = tmp_path / "nonlin.npy"
+    convert_reference_splines_to_npy(str(pkl), str(npy))
+    assert np.load(npy).shape == coeffs.shape
+
+    s1 = ReductionSettings(geometry=TINY, pixscale=PIXSCALE,
+                           correct_nonlin=True,
+                           nonlin_corr_file=str(pkl))
+    pipe = Pipeline(DataTree(str(tmp_path), "ML1"), "ML1", s1,
+                    _ctx(s1, correct_nonlin=True))
+    assert pipe.nonlin_coeffs is not None
+    assert pipe.nonlin_coeffs.shape[0] == C
