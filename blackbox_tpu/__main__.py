@@ -58,6 +58,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep_tmp", type=str2bool, default=False)
     p.add_argument("--max_runtime_s", type=float, default=None,
                    help="night mode: stop after this many seconds")
+    p.add_argument("--finding_chart", nargs=3, default=None,
+                   metavar=("RA", "DEC", "FITS_RED"),
+                   help="render a finding chart: RA (deg or sexagesimal "
+                        "hours), DEC (deg or sexagesimal), reduced "
+                        "product path (.fits[.fz|.gz], POSIX or gs://)")
+    p.add_argument("--target_name", default=None,
+                   help="finding chart: target name")
+    p.add_argument("--size_arcmin", type=float, default=3.0,
+                   help="finding chart size [arcmin]")
+    p.add_argument("--output_format", default="pdf",
+                   choices=["pdf", "jpg", "png"],
+                   help="finding chart output format")
+    p.add_argument("--run_id", default=None, help="finding chart: ESO run")
+    p.add_argument("--pi_name", default=None, help="finding chart: PI")
+    p.add_argument("--ob_name", default=None, help="finding chart: OB")
     return p
 
 
@@ -67,6 +82,20 @@ def main(argv=None) -> int:
         level=logging.INFO,
         format="%(asctime)sUTC %(process)d %(levelname)s "
                "%(funcName)s:%(lineno)d %(message)s")
+
+    if args.finding_chart:
+        # standalone tool, no pipeline construction (reference ships
+        # finding_chart.py as its own CLI, finding_chart.py:56-328)
+        from blackbox_tpu.report.finding_chart import chart_from_product
+        ra, dec, fits_red = args.finding_chart
+        out = chart_from_product(
+            fits_red, ra, dec, size_arcmin=args.size_arcmin,
+            target_name=args.target_name,
+            output_format=args.output_format,
+            info={"run": args.run_id, "PI": args.pi_name,
+                  "OB": args.ob_name})
+        print(out)
+        return 0
 
     from blackbox_tpu.config.defaults import ReductionSettings
     from blackbox_tpu.orchestration.paths import DataTree
