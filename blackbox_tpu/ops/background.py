@@ -23,6 +23,22 @@ def background_mesh(image, mask, boxsize: int, nsigma: float = 3.0,
     image : (H, W); mask : bool (True = excluded) or None
     Returns (bkg_mini (ny, nx), std_mini (ny, nx)).
     """
+    med, std = box_stats(image, mask, boxsize, nsigma)
+    med = jnp.nan_to_num(med, nan=jnp.nanmedian(med))
+    std = jnp.nan_to_num(std, nan=jnp.nanmedian(std))
+
+    if filtersize > 1:
+        med = _mesh_median_filter(med, filtersize)
+        std = _mesh_median_filter(std, filtersize)
+    return med, std
+
+
+def box_stats(image, mask, boxsize: int, nsigma: float = 3.0):
+    """Raw per-box clipped median/STD (NaN where a box is fully masked).
+
+    The per-box computation is strictly box-local, so a column-sharded
+    mosaic computes its mesh columns independently and ``all_gather``
+    reassembles the exact single-device mesh (parallel/extract.py)."""
     H, W = image.shape
     ny, nx = H // boxsize, W // boxsize
     # large boxes: row-strided subsample per box — the reference's
@@ -49,12 +65,6 @@ def background_mesh(image, mask, boxsize: int, nsigma: float = 3.0,
     # interval formulation gives the same clip for one sort, ~80->35 ms)
     med, _, std, _ = sorted_clipped_stats(tiles, tbad, sigma=nsigma,
                                           iters=3)
-    med = jnp.nan_to_num(med, nan=jnp.nanmedian(med))
-    std = jnp.nan_to_num(std, nan=jnp.nanmedian(std))
-
-    if filtersize > 1:
-        med = _mesh_median_filter(med, filtersize)
-        std = _mesh_median_filter(std, filtersize)
     return med, std
 
 

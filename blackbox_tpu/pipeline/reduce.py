@@ -241,6 +241,17 @@ def extract_catalog(ctx: ReduceContext, sci, mask_m):
     excl = (mask_m & (maskbits.EDGE | maskbits.BAD
                       | maskbits.SATELLITE)) != 0
     seg, n = detect_segments(sub, bstd, excl, ctx.det_params)
+    return catalog_tail(ctx, sci, sub, bkg, bstd, seg, n, mesh, stdm)
+
+
+def catalog_tail(ctx: ReduceContext, sci, sub, bkg, bstd, seg, n,
+                 mesh, stdm):
+    """Per-source stages after segmentation: moments, photometry, PSF.
+
+    Shared verbatim by :func:`extract_catalog` and the tile-sharded
+    pixel stages (:mod:`blackbox_tpu.parallel.extract`), so the two
+    paths stay bit-identical by construction downstream of ``seg``.
+    """
     seg, n = jax.lax.optimization_barrier((seg, n))
     cat = segment_catalog(sub, bstd, seg, n, ctx.det_params)
     cat.update(moments_shape(cat))
