@@ -33,10 +33,16 @@ def host_fingerprint() -> str:
     load with a SIGILL/corruption warning.
     """
     try:
+        import jax
+        import jaxlib
         with open("/proc/cpuinfo") as f:
             lines = f.read().splitlines()
         key = [next((ln for ln in lines if ln.startswith(pat)), "")
                for pat in ("model name", "flags")]
+        # AOT artifacts also encode XLA-internal pseudo-features
+        # (+prefer-no-gather etc.) that vary with the compiler build,
+        # not the host — key the cache on the jax/jaxlib versions too
+        key += [jax.__version__, jaxlib.__version__]
         return hashlib.sha1("\n".join(key).encode()).hexdigest()[:10]
     except OSError:
         return "nohost"
