@@ -20,12 +20,18 @@ from blackbox_tpu.io.fits import read_fits
 from blackbox_tpu.io.storage import get_backend, list_files
 from blackbox_tpu.orchestration.paths import DataTree, base_name
 
-# the reference's 21-key obslog column set (blackbox.py:3334-3343)
+# the reference's full 21-key obslog column set (blackbox.py:3359-3362;
+# ORIGFILE becomes FILENAME) plus three framework extras the operators
+# read nightly (NOBJECTS, T-NTRANS, TQC-FLAG)
 OBSLOG_KEYS = [
-    "FILENAME", "IMAGETYP", "DATE-OBS", "EXPTIME", "FILTER", "OBJECT",
-    "AIRMASS", "S-SEEING", "CL-BASE", "RDNOISE", "NOBJECTS",
-    "PC-ZP", "PC-ZPSTD", "LIMMAG", "T-NTRANS", "QC-FLAG", "TQC-FLAG",
+    "FILENAME", "IMAGETYP", "DATE-OBS", "PROGNAME", "PROGID", "OBJECT",
+    "FILTER", "EXPTIME", "RA", "DEC", "AIRMASS", "FOCUSPOS",
+    "S-SEEING", "CL-BASE", "RH-MAST", "WINDAVE", "LIMMAG", "QC-FLAG",
+    "QCRED1", "QCRED2", "QCRED3",
+    "NOBJECTS", "T-NTRANS", "TQC-FLAG", "N-SSO",
 ]
+
+IMGTYPES = ("bias", "dark", "flat", "object")
 
 
 def _header_of(path):
@@ -92,18 +98,63 @@ def _s(v) -> str:
     return str(v).strip()
 
 
+def night_summary(tree: DataTree, date: str, telescope: str,
+                  rows=None) -> str:
+    """Per-imgtype raw/reduced counts + catalog red-flag counts: the
+    reference's email body (blackbox.py:3500-3545)."""
+    raw = {t: 0 for t in IMGTYPES}
+    for p in list_files(os.path.join(tree.raw_dir(date), "*.fits*")):
+        name = os.path.basename(p).lower()
+        kind = next((t for t in IMGTYPES[:3] if t in name), "object")
+        raw[kind] += 1
+
+    red = {t: 0 for t in IMGTYPES}
+    ncat = nred_cat = ntrans = nred_trans = nsso = nsso_dum = 0
+    rows = rows if rows is not None else collect_night(tree, date)
+    for r in rows:
+        kind = _s(r.get("IMAGETYP")).lower()
+        red[kind if kind in IMGTYPES else "object"] += 1
+        if r.get("NOBJECTS") is not None or kind == "object":
+            ncat += 1
+            nred_cat += _s(r.get("QC-FLAG")) == "red"
+        if r.get("T-NTRANS") is not None:
+            ntrans += 1
+            nred_trans += _s(r.get("TQC-FLAG")) == "red"
+        if r.get("N-SSO") is not None:
+            nsso += 1
+            nsso_dum += not r.get("N-SSO")
+
+    def _per(c):
+        return (f"{sum(c.values())} ({c['bias']} biases, {c['dark']} "
+                f"darks, {c['flat']} flats, {c['object']} objects)")
+
+    return "\n".join([
+        f"{telescope}: summary of {date} observations:",
+        "-" * 40,
+        f"# raw images:       {_per(raw)}",
+        f"# reduced images:   {_per(red)}",
+        f"# full-source cats: {ncat} ({nred_cat} red-flagged)",
+        f"# transient cats:   {ntrans} ({nred_trans} red-flagged)",
+        f"# SSO cats:         {nsso} ({nsso_dum} empty)",
+    ]) + "\n"
+
+
 def create_obslog(tree: DataTree, date: str, telescope: str,
                   email_to: Optional[str] = None,
                   smtp_host: str = "localhost") -> str:
-    """Write the obslog into the night's red dir; optionally email it."""
+    """Write the obslog into the night's red dir; optionally email it
+    with the night-summary body and the table attached (reference
+    create_obslog, blackbox.py:3280-3578)."""
     rows = collect_night(tree, date)
-    text = format_obslog(rows, date, telescope)
+    summary = night_summary(tree, date, telescope, rows=rows)
+    text = summary + "\n" + format_obslog(rows, date, telescope)
     rdir = tree.red_dir(date)
     path = os.path.join(rdir, f"{telescope}_{date}_obslog.txt")
     get_backend(path).write_bytes(path, text.encode())
     if email_to:
-        send_email(email_to, f"{telescope} obslog {date}", text,
-                   smtp_host=smtp_host)
+        send_email(email_to, f"{telescope} night report {date}", summary,
+                   smtp_host=smtp_host,
+                   attachments=((os.path.basename(path), text.encode()),))
     return path
 
 
