@@ -102,18 +102,25 @@ def _lanczos_tap(frac, k: int, a: int):
     return jnp.where(jnp.abs(x) < a, w, 0.0)
 
 
-def lanczos_resample(src, ys, xs, a: int = 3, fill: float = 0.0):
+def lanczos_resample(src, ys, xs, a: int = 3, fill: float = 0.0,
+                     row_offset=0, n_rows: int | None = None):
     """Sample ``src`` at fractional coords with separable Lanczos-a.
 
-    src    : (H, W) float32
-    ys, xs : (H', W') 0-based source coordinates
+    src    : (H, W) float32 — possibly a row SLAB of a taller frame
+    ys, xs : (H', W') 0-based source coordinates, LOCAL to ``src``
     Out-of-bounds samples return ``fill``.
+
+    ``row_offset``/``n_rows`` support slab sampling: the in-bounds test
+    runs against the FULL frame (``row_offset + ys`` vs ``n_rows``)
+    while tap indices clamp to the slab — callers guarantee the slab
+    covers every in-bounds tap (see :func:`resample_blocked`).
 
     Tap weights are recomputed per tap instead of stored: a
     materialised (H', W', 2a) weight tensor costs 6x the frame in HBM
     and OOMs the blocked co-add with several inputs resident.
     """
     H, W = src.shape
+    Ht = H if n_rows is None else n_rows
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
     fy = ys - y0
@@ -131,21 +138,238 @@ def lanczos_resample(src, ys, xs, a: int = 3, fill: float = 0.0):
         wrow = _lanczos_tap(fy, ky, a) / sy
         for kx in range(2 * a):
             ix = jnp.clip(ix0 + (kx - a + 1), 0, W - 1)
+            # indices are pre-clipped: mode="clip" skips the gather's
+            # out-of-bounds select pass (default mode is "fill")
             acc = acc + (wrow * (_lanczos_tap(fx, kx, a) / sx)
-                         * jnp.take(flat, row + ix))
+                         * jnp.take(flat, row + ix, mode="clip"))
 
-    inb = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+    yg = ys + row_offset
+    inb = (yg >= 0) & (yg <= Ht - 1) & (xs >= 0) & (xs <= W - 1)
     return jnp.where(inb, acc, fill)
 
 
-def nearest_resample(src, ys, xs, fill=0):
-    """Nearest-neighbour remap (masks; SWarp RESAMPLING_TYPE NEAREST)."""
+def nearest_resample(src, ys, xs, fill=0, row_offset=0,
+                     n_rows: int | None = None):
+    """Nearest-neighbour remap (masks; SWarp RESAMPLING_TYPE NEAREST).
+
+    ``row_offset``/``n_rows``: slab sampling, see
+    :func:`lanczos_resample`."""
     H, W = src.shape
+    Ht = H if n_rows is None else n_rows
     iy = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, H - 1)
     ix = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, W - 1)
-    out = jnp.take(src.ravel(), iy * W + ix)
-    inb = (ys >= -0.5) & (ys <= H - 0.5) & (xs >= -0.5) & (xs <= W - 0.5)
+    out = jnp.take(src.ravel(), iy * W + ix, mode="clip")
+    yg = ys + row_offset
+    inb = (yg >= -0.5) & (yg <= Ht - 0.5) & (xs >= -0.5) & \
+        (xs <= W - 0.5)
     return jnp.where(inb, out, jnp.asarray(fill, src.dtype))
+
+
+def resample_blocked(srcs, modes, fills, grid, block_rows: int = 1320,
+                     a: int = 3, margin: int = 64,
+                     unroll: bool = False):
+    """Resample several same-grid sources in ONE row-blocked pass.
+
+    srcs  : tuple of (H, W) source arrays (shared coordinate mapping)
+    modes : per-source "lanczos" | "nearest"
+    fills : per-source out-of-bounds fill value
+    grid  : (sy, sx, Wy, Wx) coarse nodes + upsample weights from
+            :func:`remap_grid_coarse`, or (ys, xs) full planes
+    block_rows : rows per block; must divide the destination height
+    margin : source rows of slack above/below each destination block.
+        MUST bound the mapping's row deviation ``max |ys - y_dest|``
+        plus the tap radius ``a`` — in-frame samples whose taps fall
+        outside the slab come back wrong (out-of-frame samples are
+        still filled correctly, the in-bounds test uses true frame
+        coordinates).  Production new<->ref remaps deviate by a few px
+        (same pointing); the 64 default covers a 0.3 deg rotation at
+        10.5k².  Use :func:`grid_row_margin` to size it from a grid.
+
+    Two full-scale measurements shape this design (PERF_NOTES.md):
+    the dense tap loop keeps ~20 full-frame s32 index planes live
+    (~9 GB of HLO temps — OOM inside the fused science program on a
+    16 GB v5e), and full-frame-source gathers (111M-element operand)
+    fault the v5e DMA engine at runtime.  Each block therefore slices
+    a (block_rows + 2*margin)-row source SLAB with ``dynamic_slice``
+    and gathers from slab-local indices — the same bounded-slab
+    pattern the blocked co-add runs in production.
+    """
+    import jax
+
+    if len(grid) == 4:
+        sy, sx, Wy, Wx = grid
+        H, W = Wy.shape[0], Wx.shape[0]
+        coarse = True
+    else:
+        ys_full, xs_full = grid
+        H, W = ys_full.shape
+        coarse = False
+    if H % block_rows:
+        raise ValueError(f"block_rows {block_rows} must divide H {H}")
+    nb = H // block_rows
+    Hs = srcs[0].shape[0]
+    slab_h = min(block_rows + 2 * margin, Hs)
+
+    def one(args):
+        i, blk = args
+        if coarse:
+            Wy_b = blk
+            ys = jnp.matmul(jnp.matmul(Wy_b, sy, precision="highest"),
+                            Wx.T, precision="highest")
+            xs = jnp.matmul(jnp.matmul(Wy_b, sx, precision="highest"),
+                            Wx.T, precision="highest")
+        else:
+            ys, xs = blk
+        y0s = jnp.clip(i * block_rows - margin, 0, Hs - slab_h)
+        ys_l = ys - y0s.astype(ys.dtype)
+        outs = []
+        for src, mode, fill in zip(srcs, modes, fills):
+            slab = jax.lax.dynamic_slice(
+                src, (y0s, jnp.int32(0)), (slab_h, src.shape[1]))
+            if mode == "lanczos":
+                outs.append(lanczos_resample(slab, ys_l, xs, a=a,
+                                             fill=fill, row_offset=y0s,
+                                             n_rows=Hs))
+            elif mode == "nearest":
+                outs.append(nearest_resample(slab, ys_l, xs, fill=fill,
+                                             row_offset=y0s, n_rows=Hs))
+            else:
+                raise ValueError(f"unknown resample mode {mode!r}")
+        return tuple(outs)
+
+    idx = jnp.arange(nb, dtype=jnp.int32)
+    if coarse:
+        blocks = Wy.reshape(nb, block_rows, Wy.shape[1])
+    else:
+        blocks = (ys_full.reshape(nb, block_rows, W),
+                  xs_full.reshape(nb, block_rows, W))
+    if unroll:
+        per = [one((idx[i], jax.tree_util.tree_map(lambda a: a[i],
+                                                   blocks)))
+               for i in range(nb)]
+        return tuple(jnp.concatenate([p[j] for p in per], axis=0)
+                     for j in range(len(srcs)))
+    outs = jax.lax.map(one, (idx, blocks))
+    return tuple(o.reshape(H, W) for o in outs)
+
+
+def grid_shift_ranges(sy, sx, step: int = 32, a: int = 3):
+    """Integer shift ranges ((ry0, ry1), (rx0, rx1)) of a coarse grid:
+    the static bounds :func:`warp_shift2pass` fans its shifted adds
+    over.  Host-side (numpy coarse nodes from
+    :func:`remap_grid_coarse`)."""
+    dy = np.asarray(sy, np.float64) - np.arange(
+        sy.shape[0], dtype=np.float64)[:, None] * step
+    dx = np.asarray(sx, np.float64) - np.arange(
+        sx.shape[1], dtype=np.float64)[None, :] * step
+    ry = (int(np.floor(dy.min())) - a + 1, int(np.floor(dy.max())) + a)
+    rx = (int(np.floor(dx.min())) - a + 1, int(np.floor(dx.max())) + a)
+    return ry, rx
+
+
+def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
+    """Smooth-warp resample as TWO passes of variable-weight shifted
+    adds — the TPU-native remap for production new<->ref registration.
+
+    Per-pixel gathers are the wrong primitive on TPU: a full-scale
+    36-tap Lanczos gather measures ~32 s/frame-triple on a v5e (HBM
+    random access at ~1 px/cycle), while the DMA engine streams
+    full-frame shifted reads at ~1 ms/pass.  A survey remap deviates
+    from the identity by only a few pixels (same field, same pointing;
+    rotator repeatability ~arcmin), so the separable Lanczos factors
+    into integer SHIFTS with spatially-varying weights:
+
+        pass 1 (rows):  V(y, x) = sum_s  src[y+s, x] * Ly(dys(y,x) - s)
+        pass 2 (cols):  out(y, x) = sum_s V[y, x+s] * Lx(dxs(y,x) - s)
+
+    with s spanning the static integer ``ranges`` from
+    :func:`grid_shift_ranges`.  Each term is one streaming pass (the
+    same shifted-add pattern as the detection filter), fused by XLA.
+
+    Semantics vs the direct 36-tap form: the vertical weights are
+    evaluated at the pixel's own column instead of the source column,
+    a second-order approximation displacing the effective sampling
+    point by |d(ys)/dx| * |dxs| — ~0.01 px for a 3-arcmin rotation at
+    10.5k², far inside the ZOGY astrometric-variance budget (dx=0.25).
+    Edge taps replicate the border row/column (pad mode 'edge'),
+    matching the dense path's index clamping; out-of-frame samples
+    fill exactly as the dense path.  For mappings too large or too
+    wild for the bound, use :func:`resample_blocked` (exact, slow).
+
+    srcs/modes/fills : as :func:`resample_blocked`
+    grid   : (sy, sx, Wy, Wx) coarse form or (ys, xs) full planes
+    ranges : ((ry0, ry1), (rx0, rx1)) inclusive integer shift bounds
+    """
+    if len(grid) == 4:
+        sy, sx, Wy, Wx = grid
+        ys = upsample_grid(jnp.asarray(sy, jnp.float32), Wy, Wx)
+        xs = upsample_grid(jnp.asarray(sx, jnp.float32), Wy, Wx)
+    else:
+        ys, xs = grid
+    H, W = ys.shape
+    (ry0, ry1), (rx0, rx1) = ranges
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    dys = ys - yy
+    dxs = xs - xx
+
+    def tap(d):
+        # un-normalised Lanczos-a weight at offset d, |d| < a
+        pid = jnp.pi * d
+        w = jnp.where(jnp.abs(d) < 1e-7, 1.0,
+                      a * jnp.sin(pid) * jnp.sin(pid / a)
+                      / jnp.maximum(pid * pid, 1e-7))
+        return jnp.where(jnp.abs(d) < a, w, 0.0)
+
+    def pass_axis(img, d, r0, r1, axis, mode):
+        n = img.shape[axis]
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (max(-r0, 0), max(r1, 0))
+        p = jnp.pad(img, pad, mode="edge")
+        off = max(-r0, 0)
+
+        def sl(s):
+            i0 = off + s
+            return (p[i0:i0 + n, :] if axis == 0 else p[:, i0:i0 + n])
+
+        if mode == "nearest":
+            si = jnp.clip(jnp.round(d).astype(jnp.int32), r0, r1)
+            out = jnp.zeros_like(img)
+            for s in range(r0, r1 + 1):
+                out = jnp.where(si == s, sl(s), out)
+            return out
+        acc = jnp.zeros_like(img)
+        norm = jnp.zeros(d.shape, jnp.float32)
+        for s in range(r0, r1 + 1):
+            w = tap(d - s)
+            norm = norm + w
+            acc = acc + w * sl(s)
+        return acc / jnp.where(norm == 0, 1.0, norm)
+
+    outs = []
+    for src, mode, fill in zip(srcs, modes, fills):
+        if mode == "lanczos":
+            v = pass_axis(src, dys, ry0, ry1, 0, "lanczos")
+            o = pass_axis(v, dxs, rx0, rx1, 1, "lanczos")
+            inb = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+        elif mode == "nearest":
+            v = pass_axis(src.astype(src.dtype), dys, ry0, ry1, 0,
+                          "nearest")
+            o = pass_axis(v, dxs, rx0, rx1, 1, "nearest")
+            inb = (ys >= -0.5) & (ys <= H - 0.5) & (xs >= -0.5) & \
+                (xs <= W - 0.5)
+        else:
+            raise ValueError(f"unknown resample mode {mode!r}")
+        outs.append(jnp.where(inb, o, jnp.asarray(fill, src.dtype)))
+    return tuple(outs)
+
+
+def grid_row_margin(sy, step: int = 32, a: int = 3) -> int:
+    """Slab margin for :func:`resample_blocked` from coarse row nodes:
+    max |source row - destination row| over the grid + tap radius."""
+    dest = np.arange(sy.shape[0], dtype=np.float64)[:, None] * step
+    return int(np.ceil(np.max(np.abs(np.asarray(sy, np.float64)
+                                     - dest)))) + a + 2
 
 
 def remap(src, wcs_src, wcs_dst, shape_dst, order: str = "lanczos3",

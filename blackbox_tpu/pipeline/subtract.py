@@ -156,7 +156,8 @@ def fused_science_step(ctx, chan_data, os_vert, os_hori, mbias, mflat,
                        ref_sub, ref_std, ref_mask, grid, psf_ref, sr,
                        ref_cat: dict,
                        zogy_params: ZogyParams = ZogyParams(),
-                       trans_params: TransientParams = TransientParams()):
+                       trans_params: TransientParams = TransientParams(),
+                       remap_margin: int = 64, remap_ranges=None):
     """ONE traced program: raw channel stacks -> transient catalog.
 
     The reference's full per-science-frame flow — calibration chain,
@@ -193,7 +194,8 @@ def fused_science_step(ctx, chan_data, os_vert, os_hori, mbias, mflat,
                          front["psf_centre"], front["cat"],
                          front["stats"]["bkg_std"],
                          ref_sub, ref_std, ref_mask, grid, psf_ref, sr,
-                         ref_cat, zogy_params, trans_params)
+                         ref_cat, zogy_params, trans_params,
+                         remap_margin, remap_ranges)
     out = {k: v for k, v in front.items()
            if k not in ("sub", "psf_centre")}
     out.update(back)
@@ -226,7 +228,8 @@ def _science_front(ctx, chan_data, os_vert, os_hori, mbias, mflat,
 
 def _science_back(sub, bstd, mask_m, psf_n, cat, sn,
                   ref_sub, ref_std, ref_mask, grid, psf_ref, sr,
-                  ref_cat, zogy_params, trans_params):
+                  ref_cat, zogy_params, trans_params,
+                  remap_margin: int = 64, remap_ranges=None):
     """Scaling match + remap + ZOGY + transient extraction: the FFT
     half of the science step (one traced function)."""
     fratio, fstd, dx_rms, dy_rms, nmatch = measure_scaling_device(
@@ -234,17 +237,29 @@ def _science_back(sub, bstd, mask_m, psf_n, cat, sn,
         cat["valid"], ref_cat["x"], ref_cat["y"], ref_cat["flux"],
         ref_cat["fluxerr"], ref_cat["valid"])
 
-    if len(grid) == 4:
-        from blackbox_tpu.ops.warp import upsample_grid
-        sy, sx, Wy, Wx = grid
-        ys = upsample_grid(sy, Wy, Wx)
-        xs = upsample_grid(sx, Wy, Wx)
+    # remap the three ref planes in one pass.  PRODUCTION path
+    # (remap_ranges from ops.warp.grid_shift_ranges): the two-pass
+    # variable-shift Lanczos — per-pixel gathers run at ~1 px/cycle on
+    # a v5e (measured 32 s/frame-triple), streaming shifted adds at
+    # ~1 ms/pass.  Fallback (remap_ranges=None): the exact row-blocked
+    # slab gather (the dense tap loop keeps ~20 full-frame s32 index
+    # planes live and OOMs a 16 GB chip; blocking bounds the working
+    # set, but the gathers stay slow — use only off the hot path).
+    srcs3 = (ref_sub, ref_std, ref_mask)
+    modes3 = ("lanczos", "nearest", "nearest")
+    fills3 = (0.0, sr, jnp.uint8(maskbits.EDGE))
+    if remap_ranges is not None:
+        from blackbox_tpu.ops.warp import warp_shift2pass
+        ref_sub_r, ref_std_r, ref_mask_r = warp_shift2pass(
+            srcs3, modes3, fills3, grid, remap_ranges)
     else:
-        ys, xs = grid
-    ref_sub_r = lanczos_resample(ref_sub, ys, xs)
-    ref_std_r = nearest_resample(ref_std, ys, xs, fill=sr)
-    ref_mask_r = nearest_resample(ref_mask, ys, xs,
-                                  fill=jnp.uint8(maskbits.EDGE))
+        from blackbox_tpu.ops.warp import resample_blocked
+        H = ref_sub.shape[0]
+        block = next(b for b in (1320, 660, 264, 132, 60, 22, 11, 8,
+                                 4, 2, 1) if H % b == 0)
+        ref_sub_r, ref_std_r, ref_mask_r = resample_blocked(
+            srcs3, modes3, fills3, grid, block_rows=block,
+            margin=remap_margin)
 
     # traced dx/dy ride the params dataclass straight into the
     # astrometric-variance term (the dataclass is never hashed here)
@@ -269,7 +284,8 @@ def _science_back(sub, bstd, mask_m, psf_n, cat, sn,
 def make_science_programs(ctx, xtalk_coeffs=None,
                           zogy_params: ZogyParams = ZogyParams(),
                           trans_params: TransientParams =
-                          TransientParams(), donate: bool = True):
+                          TransientParams(), donate: bool = True,
+                          remap_margin: int = 64, remap_ranges=None):
     """The production full-scale raw->transient path as TWO jitted
     device programs dispatched back-to-back with NO host sync between
     them.
@@ -300,7 +316,8 @@ def make_science_programs(ctx, xtalk_coeffs=None,
              ref_mask, grid, psf_ref, sr, ref_cat):
         return _science_back(sub, bstd, mask_m, psf_n, cat, sn,
                              ref_sub, ref_std, ref_mask, grid, psf_ref,
-                             sr, ref_cat, zogy_params, trans_params)
+                             sr, ref_cat, zogy_params, trans_params,
+                             remap_margin, remap_ranges)
 
     return (jax.jit(front),
             jax.jit(back, donate_argnums=(0, 1) if donate else ()))
