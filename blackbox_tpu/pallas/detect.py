@@ -29,7 +29,10 @@ either fail ("Ran out of memory in memory space vmem ... should not be
 possible") or, right at the limit, SILENTLY MISCOMPILE (336k roots vs
 3992 at full scale, while each feature in isolation is bit-exact on
 chip).  Until the kernel is restructured to shrink peak liveness, the
-default path stays jnp + labelprop.
+default path stays jnp + labelprop.  A standalone reproduction
+harness for the toolchain issue lives at
+``tools/repro_pallas_detect_miscompile.py`` (run on the target chip;
+healthy toolchains print all-OK rows).
 """
 
 from __future__ import annotations
