@@ -176,12 +176,125 @@ def main():
     fps = 1.0 / dt
     print(f"# steady state {dt * 1e3:.1f} ms/frame", file=sys.stderr)
 
-    print(json.dumps({
+    # ---- second metric: the FULL production science frame, raw ->
+    # transient catalog (calibrate + extract + ref remap + ZOGY +
+    # transient extraction as two back-to-back device programs with no
+    # host sync between them — the reference's complete per-science-
+    # frame flow, blackbox.py:1474-1991 + 2429-2568)
+    sci_fps = None
+    try:
+        sci_fps = science_bench(ctx, geom, args, xtalk)
+    except Exception as e:                 # noqa: BLE001
+        print(f"# science bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    out = {
         "metric": "frames/sec/chip raw->catalog (10.5k^2 16-ch frame)",
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / 1.0, 4),
-    }))
+    }
+    if sci_fps is not None:
+        out["extra_metrics"] = {
+            "raw->transient_catalog frames/s (new+ref, full science "
+            "frame)": round(sci_fps, 4)}
+    print(json.dumps(out))
+
+
+def science_bench(ctx, geom, args, xtalk) -> float:
+    """Steady frames/s of the two-program raw->transient path."""
+    import jax
+    import jax.numpy as jnp
+    from blackbox_tpu.ops.psf import psf_at
+    from blackbox_tpu.ops.warp import grid_shift_ranges
+    from blackbox_tpu.pipeline.reduce import (calibrate_detector,
+                                              extract_catalog)
+    from blackbox_tpu.pipeline.subtract import make_science_programs
+
+    chan, osv, osh, mbias, mflat = args
+
+    @jax.jit
+    def make_ref(chan, osv, osh, mbias, mflat):
+        sci, mask_m, _ = calibrate_detector(ctx, chan, osv, osh,
+                                            mbias, mflat, None, xtalk)
+        ext = extract_catalog(ctx, sci, mask_m)
+        H, W = sci.shape
+        fr = jnp.float32(1.3)          # pretend the ref is 1.3x deeper
+        cat = ext["cat"]
+        return ((sci - ext["bkg"]) * fr, ext["bkg_std"] * fr, mask_m,
+                psf_at(ext["psf"], 0.5 * W, 0.5 * H),
+                jnp.median(ext["bkg_std"]) * fr,
+                {"x": cat["x"], "y": cat["y"],
+                 "flux": cat["flux_psf"] * fr,
+                 "fluxerr": cat["fluxerr_psf"] * fr,
+                 "valid": cat["valid"]})
+
+    t0 = time.time()
+    ref_sub, ref_std, ref_mask, psf_r, sr, ref_cat = \
+        jax.block_until_ready(make_ref(chan, osv, osh, mbias, mflat))
+    print(f"# science: ref products in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    # registration: small rotation + offset, production scale
+    H, W = geom.red_shape
+    th = np.deg2rad(0.05)
+    ct, st = np.cos(th), np.sin(th)
+    cy, cx = 0.5 * H, 0.5 * W
+    offx, offy = 3.2, -2.7
+    step_px = 32
+    gy = np.arange(0, H + step_px, step_px, np.float64)
+    gx = np.arange(0, W + step_px, step_px, np.float64)
+    gyy, gxx = np.meshgrid(gy - cy, gx - cx, indexing="ij")
+    sx = (cx + ct * gxx + st * gyy + offx).astype(np.float32)
+    sy = (cy - st * gxx + ct * gyy + offy).astype(np.float32)
+
+    def bil_weights(n_out, n_nodes):
+        Wm = np.zeros((n_out, n_nodes), np.float32)
+        f = np.arange(n_out, dtype=np.float64) / step_px
+        i0 = np.minimum(f.astype(np.int64), n_nodes - 2)
+        t = (f - i0).astype(np.float32)
+        Wm[np.arange(n_out), i0] = 1.0 - t
+        Wm[np.arange(n_out), i0 + 1] = t
+        return Wm
+
+    grid = (jnp.asarray(sy), jnp.asarray(sx),
+            jnp.asarray(bil_weights(H, len(gy))),
+            jnp.asarray(bil_weights(W, len(gx))))
+    rx = np.asarray(ref_cat["x"], np.float64) - cx - offx
+    ry = np.asarray(ref_cat["y"], np.float64) - cy - offy
+    ref_cat = dict(ref_cat)
+    ref_cat["x"] = jnp.asarray(cx + ct * rx - st * ry, jnp.float32)
+    ref_cat["y"] = jnp.asarray(cy + st * rx + ct * ry, jnp.float32)
+    ranges = grid_shift_ranges(sy, sx, step=step_px, blocks=8)
+
+    front, back = make_science_programs(ctx, xtalk, remap_ranges=ranges)
+
+    def run_pair(chan):
+        f = front(chan, osv, osh, mbias, mflat, None)
+        b = back(f["sub"], f["bkg_std"], f["mask"], f["psf_centre"],
+                 f["cat"], f["stats"]["bkg_std"], ref_sub, ref_std,
+                 ref_mask, grid, psf_r, sr, ref_cat)
+        small = {"ntrans": b["trans_stats"]["t_ntrans"],
+                 "fratio": b["trans_stats"]["z_fratio"]}
+        del f, b        # big planes stream to the writer in production
+        return small
+
+    t0 = time.time()
+    r = run_pair(chan.copy())
+    float(r["ntrans"])
+    print(f"# science: compile+first {time.time()-t0:.1f}s "
+          f"fratio={float(r['fratio']):.4f}", file=sys.stderr)
+    del r
+
+    n_iter = 5
+    t0 = time.time()
+    for i in range(n_iter):
+        a0 = chan + jnp.float32(i + 7) * 1e-7
+        r = run_pair(a0)
+    float(r["ntrans"])
+    dt = (time.time() - t0) / n_iter
+    print(f"# science steady {dt*1e3:.1f} ms/frame", file=sys.stderr)
+    return 1.0 / dt
 
 
 if __name__ == "__main__":

@@ -253,17 +253,36 @@ def resample_blocked(srcs, modes, fills, grid, block_rows: int = 1320,
     return tuple(o.reshape(H, W) for o in outs)
 
 
-def grid_shift_ranges(sy, sx, step: int = 32, a: int = 3):
-    """Integer shift ranges ((ry0, ry1), (rx0, rx1)) of a coarse grid:
-    the static bounds :func:`warp_shift2pass` fans its shifted adds
-    over.  Host-side (numpy coarse nodes from
-    :func:`remap_grid_coarse`)."""
+def grid_shift_ranges(sy, sx, step: int = 32, a: int = 3,
+                      blocks: int = 1):
+    """Integer shift ranges of a coarse grid: the static bounds
+    :func:`warp_shift2pass` fans its shifted adds over.  Host-side
+    (numpy coarse nodes from :func:`remap_grid_coarse`).
+
+    blocks=1 returns ((ry0, ry1), (rx0, rx1)).  blocks=B returns
+    (ry_list, rx_list) with B per-strip ranges: the row shift varies
+    mostly along x (rotation sweep) and the column shift along y, so a
+    column strip needs only its LOCAL row range — at 10.5k² a 3-arcmin
+    rotation spans ~15 global shifts but ~8 per eighth-strip, nearly
+    halving the pass count."""
     dy = np.asarray(sy, np.float64) - np.arange(
         sy.shape[0], dtype=np.float64)[:, None] * step
     dx = np.asarray(sx, np.float64) - np.arange(
         sx.shape[1], dtype=np.float64)[None, :] * step
-    ry = (int(np.floor(dy.min())) - a + 1, int(np.floor(dy.max())) + a)
-    rx = (int(np.floor(dx.min())) - a + 1, int(np.floor(dx.max())) + a)
+
+    def rng(d):
+        return (int(np.floor(d.min())) - a + 1,
+                int(np.floor(d.max())) + a)
+
+    if blocks <= 1:
+        return rng(dy), rng(dx)
+    # dy ranges per COLUMN strip (node axis 1), dx per ROW strip
+    ny, nx = dy.shape
+    # +1 node of overlap: a strip boundary falls inside a coarse cell
+    ry = [rng(dy[:, max(0, (b * nx) // blocks - 1):
+              ((b + 1) * nx) // blocks + 1]) for b in range(blocks)]
+    rx = [rng(dx[max(0, (b * ny) // blocks - 1):
+              ((b + 1) * ny) // blocks + 1, :]) for b in range(blocks)]
     return ry, rx
 
 
@@ -307,7 +326,7 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
     else:
         ys, xs = grid
     H, W = ys.shape
-    (ry0, ry1), (rx0, rx1) = ranges
+    ry, rx = ranges
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
     dys = ys - yy
@@ -321,7 +340,7 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
                       / jnp.maximum(pid * pid, 1e-7))
         return jnp.where(jnp.abs(d) < a, w, 0.0)
 
-    def pass_axis(img, d, r0, r1, axis, mode):
+    def pass_strip(img, d, r0, r1, axis, mode):
         n = img.shape[axis]
         pad = [(0, 0), (0, 0)]
         pad[axis] = (max(-r0, 0), max(r1, 0))
@@ -333,9 +352,11 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
             return (p[i0:i0 + n, :] if axis == 0 else p[:, i0:i0 + n])
 
         if mode == "nearest":
-            si = jnp.clip(jnp.round(d).astype(jnp.int32), r0, r1)
+            # rounding needs no tap margin: shrink to the round range
+            n0, n1 = r0 + a - 1, r1 - a + 1
+            si = jnp.clip(jnp.round(d).astype(jnp.int32), n0, n1)
             out = jnp.zeros_like(img)
-            for s in range(r0, r1 + 1):
+            for s in range(n0, n1 + 1):
                 out = jnp.where(si == s, sl(s), out)
             return out
         acc = jnp.zeros_like(img)
@@ -346,16 +367,36 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
             acc = acc + w * sl(s)
         return acc / jnp.where(norm == 0, 1.0, norm)
 
+    def pass_axis(img, d, r, axis, mode):
+        if isinstance(r[0], (int, np.integer)):
+            return pass_strip(img, d, r[0], r[1], axis, mode)
+        # per-strip static ranges: the vertical pass strips along x
+        # (row shift varies with x through the rotation sweep), the
+        # horizontal pass along y — each strip fans over its LOCAL
+        # range only, nearly halving the pass count at survey rotations
+        B = len(r)
+        n_perp = img.shape[1 - axis]
+        outs = []
+        for b, (r0, r1) in enumerate(r):
+            c0, c1 = (b * n_perp) // B, ((b + 1) * n_perp) // B
+            if axis == 0:
+                outs.append(pass_strip(img[:, c0:c1], d[:, c0:c1],
+                                       r0, r1, axis, mode))
+            else:
+                outs.append(pass_strip(img[c0:c1, :], d[c0:c1, :],
+                                       r0, r1, axis, mode))
+        return jnp.concatenate(outs, axis=1 - axis)
+
     outs = []
     for src, mode, fill in zip(srcs, modes, fills):
         if mode == "lanczos":
-            v = pass_axis(src, dys, ry0, ry1, 0, "lanczos")
-            o = pass_axis(v, dxs, rx0, rx1, 1, "lanczos")
+            v = pass_axis(src, dys, ry, 0, "lanczos")
+            o = pass_axis(v, dxs, rx, 1, "lanczos")
             inb = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
         elif mode == "nearest":
-            v = pass_axis(src.astype(src.dtype), dys, ry0, ry1, 0,
+            v = pass_axis(src.astype(src.dtype), dys, ry, 0,
                           "nearest")
-            o = pass_axis(v, dxs, rx0, rx1, 1, "nearest")
+            o = pass_axis(v, dxs, rx, 1, "nearest")
             inb = (ys >= -0.5) & (ys <= H - 0.5) & (xs >= -0.5) & \
                 (xs <= W - 0.5)
         else:
