@@ -248,18 +248,8 @@ def science_bench(ctx, geom, args, xtalk) -> float:
     sx = (cx + ct * gxx + st * gyy + offx).astype(np.float32)
     sy = (cy - st * gxx + ct * gyy + offy).astype(np.float32)
 
-    def bil_weights(n_out, n_nodes):
-        Wm = np.zeros((n_out, n_nodes), np.float32)
-        f = np.arange(n_out, dtype=np.float64) / step_px
-        i0 = np.minimum(f.astype(np.int64), n_nodes - 2)
-        t = (f - i0).astype(np.float32)
-        Wm[np.arange(n_out), i0] = 1.0 - t
-        Wm[np.arange(n_out), i0 + 1] = t
-        return Wm
-
-    grid = (jnp.asarray(sy), jnp.asarray(sx),
-            jnp.asarray(bil_weights(H, len(gy))),
-            jnp.asarray(bil_weights(W, len(gx))))
+    # coarse (sy, sx) nodes; planes reconstruct on device by lerp
+    grid = (jnp.asarray(sy), jnp.asarray(sx))
     rx = np.asarray(ref_cat["x"], np.float64) - cx - offx
     ry = np.asarray(ref_cat["y"], np.float64) - cy - offy
     ref_cat = dict(ref_cat)
@@ -267,7 +257,8 @@ def science_bench(ctx, geom, args, xtalk) -> float:
     ref_cat["y"] = jnp.asarray(cy + st * rx + ct * ry, jnp.float32)
     ranges = grid_shift_ranges(sy, sx, step=step_px, blocks=8)
 
-    front, back = make_science_programs(ctx, xtalk, remap_ranges=ranges)
+    front, back = make_science_programs(ctx, xtalk, remap_ranges=ranges,
+                                        remap_step=step_px)
 
     def run_pair(chan):
         f = front(chan, osv, osh, mbias, mflat, None)

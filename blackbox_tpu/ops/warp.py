@@ -253,6 +253,25 @@ def resample_blocked(srcs, modes, fills, grid, block_rows: int = 1320,
     return tuple(o.reshape(H, W) for o in outs)
 
 
+def upsample_lerp(c, step: int, H: int, W: int):
+    """Bilinear coarse-grid upsample as repeat + lerp (no matmuls).
+
+    Mathematically identical to ``Wy @ c @ Wx.T`` with the bilinear
+    weight matrices from :func:`remap_grid_coarse` (up to f32 lerp
+    rounding), but bandwidth-bound instead of MXU-bound: the matmul
+    pair costs ~14 ms per 10.5k² coordinate plane, the lerp ~2 ms."""
+    c = jnp.asarray(c, jnp.float32)
+    ny, nx = c.shape
+    t = (jnp.arange(step, dtype=jnp.float32) / step)
+    ty = jnp.tile(t, ny - 1)[:H, None]
+    rows = (jnp.repeat(c[:-1], step, axis=0)[:H]
+            + ty * jnp.repeat(c[1:] - c[:-1], step, axis=0)[:H])
+    tx = jnp.tile(t, nx - 1)[:W][None, :]
+    return (jnp.repeat(rows[:, :-1], step, axis=1)[:, :W]
+            + tx * jnp.repeat(rows[:, 1:] - rows[:, :-1], step,
+                              axis=1)[:, :W])
+
+
 def grid_shift_ranges(sy, sx, step: int = 32, a: int = 3,
                       blocks: int = 1):
     """Integer shift ranges of a coarse grid: the static bounds
@@ -323,6 +342,15 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
         sy, sx, Wy, Wx = grid
         ys = upsample_grid(jnp.asarray(sy, jnp.float32), Wy, Wx)
         xs = upsample_grid(jnp.asarray(sx, jnp.float32), Wy, Wx)
+    elif len(grid) == 3:
+        # (sy, sx, step): STATIC node spacing — the cheap lerp
+        # reconstruction (see upsample_lerp).  step must be a python
+        # int; under jit pass the grid as (sy, sx) coarse arrays plus
+        # the static step kwarg of the calling layer.
+        sy, sx, step = grid
+        H, W = srcs[0].shape
+        ys = upsample_lerp(sy, int(step), H, W)
+        xs = upsample_lerp(sx, int(step), H, W)
     else:
         ys, xs = grid
     H, W = ys.shape

@@ -487,7 +487,10 @@ class Pipeline:
                                         for k, v in fs.items()})
                 run_qc_check(h, self.telescope, check_key_type=imgtype)
                 red = os.path.join(rdir, base + "_red.fits.fz")
-                write_rice(red, sci_np, h, qlevel=32.0)
+                # q=16 like every non-special float product (reference
+                # fpack branch, blackbox.py:827-857: Scorr/limmag q=2,
+                # Fpsf q=4, everything else q=16)
+                write_rice(red, sci_np, h, qlevel=16.0)
                 products.append(red)
                 self._quicklook(red, sci_np, h, products)
                 if self.update_headertables and imgtype in ("bias", "flat"):

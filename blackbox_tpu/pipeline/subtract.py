@@ -157,7 +157,8 @@ def fused_science_step(ctx, chan_data, os_vert, os_hori, mbias, mflat,
                        ref_cat: dict,
                        zogy_params: ZogyParams = ZogyParams(),
                        trans_params: TransientParams = TransientParams(),
-                       remap_margin: int = 64, remap_ranges=None):
+                       remap_margin: int = 64, remap_ranges=None,
+                       remap_step: int | None = None):
     """ONE traced program: raw channel stacks -> transient catalog.
 
     The reference's full per-science-frame flow — calibration chain,
@@ -195,7 +196,7 @@ def fused_science_step(ctx, chan_data, os_vert, os_hori, mbias, mflat,
                          front["stats"]["bkg_std"],
                          ref_sub, ref_std, ref_mask, grid, psf_ref, sr,
                          ref_cat, zogy_params, trans_params,
-                         remap_margin, remap_ranges)
+                         remap_margin, remap_ranges, remap_step)
     out = {k: v for k, v in front.items()
            if k not in ("sub", "psf_centre")}
     out.update(back)
@@ -229,7 +230,8 @@ def _science_front(ctx, chan_data, os_vert, os_hori, mbias, mflat,
 def _science_back(sub, bstd, mask_m, psf_n, cat, sn,
                   ref_sub, ref_std, ref_mask, grid, psf_ref, sr,
                   ref_cat, zogy_params, trans_params,
-                  remap_margin: int = 64, remap_ranges=None):
+                  remap_margin: int = 64, remap_ranges=None,
+                  remap_step: int | None = None):
     """Scaling match + remap + ZOGY + transient extraction: the FFT
     half of the science step (one traced function)."""
     fratio, fstd, dx_rms, dy_rms, nmatch = measure_scaling_device(
@@ -250,9 +252,17 @@ def _science_back(sub, bstd, mask_m, psf_n, cat, sn,
     fills3 = (0.0, sr, jnp.uint8(maskbits.EDGE))
     if remap_ranges is not None:
         from blackbox_tpu.ops.warp import warp_shift2pass
+        if remap_step is not None and len(grid) == 2:
+            # coarse (sy, sx) nodes + STATIC spacing: coordinate planes
+            # reconstruct by lerp (no matmuls; the step must stay a
+            # python int, so it rides this static kwarg, not the grid)
+            grid = (grid[0], grid[1], int(remap_step))
         ref_sub_r, ref_std_r, ref_mask_r = warp_shift2pass(
             srcs3, modes3, fills3, grid, remap_ranges)
     else:
+        if len(grid) == 3:
+            raise ValueError("the (sy, sx, step) grid form needs "
+                             "remap_ranges (the shift2pass path)")
         from blackbox_tpu.ops.warp import resample_blocked
         H = ref_sub.shape[0]
         block = next(b for b in (1320, 660, 264, 132, 60, 22, 11, 8,
@@ -285,7 +295,8 @@ def make_science_programs(ctx, xtalk_coeffs=None,
                           zogy_params: ZogyParams = ZogyParams(),
                           trans_params: TransientParams =
                           TransientParams(), donate: bool = True,
-                          remap_margin: int = 64, remap_ranges=None):
+                          remap_margin: int = 64, remap_ranges=None,
+                  remap_step: int | None = None):
     """The production full-scale raw->transient path as TWO jitted
     device programs dispatched back-to-back with NO host sync between
     them.
@@ -317,7 +328,7 @@ def make_science_programs(ctx, xtalk_coeffs=None,
         return _science_back(sub, bstd, mask_m, psf_n, cat, sn,
                              ref_sub, ref_std, ref_mask, grid, psf_ref,
                              sr, ref_cat, zogy_params, trans_params,
-                             remap_margin, remap_ranges)
+                             remap_margin, remap_ranges, remap_step)
 
     return (jax.jit(front),
             jax.jit(back, donate_argnums=(0, 1) if donate else ()))

@@ -225,3 +225,64 @@ def test_warp_shift2pass_accuracy():
     frac_m = np.mean(got_m != want_m)
     assert frac_s < 0.02, frac_s
     assert frac_m < 0.02, frac_m
+
+
+def test_upsample_lerp_matches_matmul():
+    from blackbox_tpu.ops.warp import upsample_grid, upsample_lerp
+
+    rng = np.random.default_rng(9)
+    step, H, W = 16, 96, 80
+    ny = H // step + 2
+    nx = W // step + 2
+    c = rng.normal(100.0, 10.0, (ny, nx)).astype(np.float32)
+
+    def weights(n_out, n_nodes):
+        Wm = np.zeros((n_out, n_nodes), np.float32)
+        f = np.arange(n_out, dtype=np.float64) / step
+        i0 = np.minimum(f.astype(np.int64), n_nodes - 2)
+        t = (f - i0).astype(np.float32)
+        Wm[np.arange(n_out), i0] = 1.0 - t
+        Wm[np.arange(n_out), i0 + 1] = t
+        return Wm
+
+    want = np.asarray(upsample_grid(jnp.asarray(c),
+                                    jnp.asarray(weights(H, ny)),
+                                    jnp.asarray(weights(W, nx))))
+    got = np.asarray(upsample_lerp(jnp.asarray(c), step, H, W))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_warp_shift2pass_coarse_step_grid():
+    """(sy, sx, step) grid form == the (sy, sx, Wy, Wx) matmul form."""
+    from blackbox_tpu.ops.warp import grid_shift_ranges, warp_shift2pass
+
+    rng = np.random.default_rng(3)
+    H = W = 128
+    step = 32
+    img = rng.normal(50.0, 4.0, (H, W)).astype(np.float32)
+    gy = np.arange(0, H + step, step, np.float64)
+    gx = np.arange(0, W + step, step, np.float64)
+    gyy, gxx = np.meshgrid(gy, gx, indexing="ij")
+    sy = (gyy * 1.0 - 1.7 + 0.001 * gxx).astype(np.float32)
+    sx = (gxx * 1.0 + 2.3 - 0.001 * gyy).astype(np.float32)
+
+    def weights(n_out, n_nodes):
+        Wm = np.zeros((n_out, n_nodes), np.float32)
+        f = np.arange(n_out, dtype=np.float64) / step
+        i0 = np.minimum(f.astype(np.int64), n_nodes - 2)
+        t = (f - i0).astype(np.float32)
+        Wm[np.arange(n_out), i0] = 1.0 - t
+        Wm[np.arange(n_out), i0 + 1] = t
+        return Wm
+
+    ranges = grid_shift_ranges(sy, sx, step=step)
+    g4 = (jnp.asarray(sy), jnp.asarray(sx),
+          jnp.asarray(weights(H, len(gy))),
+          jnp.asarray(weights(W, len(gx))))
+    g3 = (jnp.asarray(sy), jnp.asarray(sx), step)
+    out4 = warp_shift2pass((jnp.asarray(img),), ("lanczos",), (0.0,),
+                           g4, ranges)[0]
+    out3 = warp_shift2pass((jnp.asarray(img),), ("lanczos",), (0.0,),
+                           g3, ranges)[0]
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out4),
+                               atol=2e-3)
