@@ -10,7 +10,6 @@ framework core (SURVEY.md §2.4 marks it optional/host-side).
 
 from __future__ import annotations
 
-import io
 import os
 import smtplib
 from email.message import EmailMessage
