@@ -18,7 +18,15 @@ from typing import Iterable
 
 
 class PosixBackend:
-    """Plain filesystem."""
+    """Plain filesystem.  Writing methods refuse gs:// paths: a
+    mis-routed bucket path would otherwise create a literal ``gs:/``
+    directory tree (observed from a cross-backend copy bug)."""
+
+    @staticmethod
+    def _no_gs(path):
+        if str(path).startswith("gs://"):
+            raise ValueError(f"gs:// path reached the POSIX backend: "
+                             f"{path}")
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -37,6 +45,7 @@ class PosixBackend:
             return fh.read()
 
     def write_bytes(self, path: str, data: bytes):
+        self._no_gs(path)
         self.make_dir(os.path.dirname(path))
         tmp = path + ".part"
         with open(tmp, "wb") as fh:
@@ -44,6 +53,7 @@ class PosixBackend:
         os.replace(tmp, path)          # atomic publication
 
     def make_dir(self, path: str):
+        self._no_gs(path)
         if path:
             # exist_ok by construction: the reference hit a mkdir race on
             # its cluster (blackbox.py:3890-3894)
@@ -62,6 +72,7 @@ class PosixBackend:
             os.remove(path)
 
     def copy(self, src: str, dst: str):
+        self._no_gs(dst)
         self.make_dir(os.path.dirname(dst))
         shutil.copy2(src, dst)
 
