@@ -203,12 +203,16 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
     clean, mask_m = jax.lax.optimization_barrier((clean, mask_m))
 
     # edge pixels -> channel median (reference blackbox.py:1968-1974);
-    # the median comes from an 8x8-subsampled grid — sorting all 7M
-    # pixels per channel costs seconds on TPU for no statistical gain
+    # the median comes from a row-subsampled grid — sorting all 7M
+    # pixels per channel costs seconds on TPU for no statistical gain.
+    # ROWS only: a 2-D ::8,::8 stride lowers as a minor-axis gather
+    # (~17 ms true of the 29 ms edge-fill block, measured); the row
+    # stride is a contiguous slice and the extra columns just fatten
+    # the (cheap) 218k-element channel sorts
     ch = geom.disassemble(clean)
     mk = geom.disassemble(mask_m)
-    ch_s = ch[:, ::8, ::8]
-    mk_s = mk[:, ::8, ::8]
+    ch_s = ch[:, ::8, :]
+    mk_s = mk[:, ::8, :]
     C = ch.shape[0]
     edge_s = (mk_s & maskbits.EDGE) != 0
     chan_med = masked_median(ch_s.reshape(C, -1),
