@@ -349,11 +349,38 @@ def run_subtraction(new: SubtractionInput, ref: SubtractionInput,
                     zogy_params: ZogyParams = ZogyParams(),
                     trans_params: TransientParams = TransientParams(),
                     psf_size: Optional[int] = None) -> SubtractionResult:
-    """Full new-vs-ref subtraction on the new frame's grid."""
+    """Full new-vs-ref subtraction on the new frame's grid.
+
+    The ref remap picks its kernel from the mapping itself (host-side,
+    from the coarse WCS grid): survey registrations (few-px shifts,
+    arcmin rotations) take the streaming two-pass variable-shift
+    Lanczos (warp_shift2pass — per-pixel gathers fault/crawl on a v5e
+    at full scale, PERF_NOTES.md); wilder mappings fall back to the
+    exact slab-blocked gather form.
+    """
+    from blackbox_tpu.ops.warp import (grid_row_margin,
+                                       grid_shift_ranges,
+                                       remap_grid_coarse)
     shape = new.image.shape
-    ys, xs = remap_grid(ref.wcs, new.wcs, shape)
-    ys = jnp.asarray(ys)
-    xs = jnp.asarray(xs)
+    step = 32
+    sy, sx, _, _ = remap_grid_coarse(ref.wcs, new.wcs, shape, step=step)
+    ranges = grid_shift_ranges(sy, sx, step=step, blocks=8)
+    span = max(max(r1 - r0 for r0, r1 in ranges[0]),
+               max(r1 - r0 for r0, r1 in ranges[1]))
+    # second-order displacement bound of the two-pass form:
+    # |d(ys)/dx| * |dxs| (and symmetric) must stay well under a pixel
+    dy_dx = float(np.max(np.abs(np.diff(sy, axis=1)))) / step
+    dx_dy = float(np.max(np.abs(np.diff(sx, axis=0)))) / step
+    rmax = max(abs(v) for pair in ranges[0] + ranges[1] for v in pair)
+    fast = span <= 40 and max(dy_dx, dx_dy) * rmax < 0.05
+    if fast:
+        grid_c = (jnp.asarray(sy, jnp.float32),
+                  jnp.asarray(sx, jnp.float32))
+    else:
+        # rare/wild mappings: exact slab-blocked gathers over the full
+        # coordinate planes (host f64 build, slow but correct)
+        ys_f, xs_f = remap_grid(ref.wcs, new.wcs, shape, step=step)
+        grid_c = (jnp.asarray(ys_f), jnp.asarray(xs_f))
 
     fratio, fstd, dx_rms, dy_rms, nmatch = _measure_scaling(new, ref)
     zp = dataclasses.replace(zogy_params, dx=dx_rms, dy=dy_rms)
@@ -371,14 +398,26 @@ def run_subtraction(new: SubtractionInput, ref: SubtractionInput,
     @jax.jit
     def device_step(new_img, new_bkg, new_std, new_mask,
                     ref_img, ref_bkg, ref_std, ref_mask,
-                    ys, xs, psf_n, psf_r, sn, sr, fratio):
+                    grid, psf_n, psf_r, sn, sr, fratio):
         # off-frame fill: neutral STD (a huge sentinel would overflow the
         # float32 FFT of the variance map and corrupt V_S everywhere);
         # the EDGE mask bit rejects those regions downstream
-        ref_sub = lanczos_resample(ref_img - ref_bkg, ys, xs)
-        ref_std_r = nearest_resample(ref_std, ys, xs, fill=sr)
-        ref_mask_r = nearest_resample(ref_mask, ys, xs,
-                                      fill=jnp.uint8(maskbits.EDGE))
+        srcs3 = (ref_img - ref_bkg, ref_std, ref_mask)
+        modes3 = ("lanczos", "nearest", "nearest")
+        fills3 = (0.0, sr, jnp.uint8(maskbits.EDGE))
+        if fast:
+            from blackbox_tpu.ops.warp import warp_shift2pass
+            ref_sub, ref_std_r, ref_mask_r = warp_shift2pass(
+                srcs3, modes3, fills3, (grid[0], grid[1], step), ranges)
+        else:
+            from blackbox_tpu.ops.warp import resample_blocked
+            Hs = ref_img.shape[0]
+            block = next(b for b in (1320, 660, 264, 132, 60, 22, 11,
+                                     8, 4, 2, 1) if shape[0] % b == 0)
+            margin = grid_row_margin(sy, step=step)
+            ref_sub, ref_std_r, ref_mask_r = resample_blocked(
+                srcs3, modes3, fills3, grid, block_rows=block,
+                margin=max(margin, block // 4))
         new_sub = new_img - new_bkg
 
         # smooth background-variance maps + spectral Poisson source
@@ -398,7 +437,7 @@ def run_subtraction(new: SubtractionInput, ref: SubtractionInput,
     out, cat, ntrans, ref_mask_r, ref_sub = device_step(
         new.image, new.bkg, new.bkg_std, new.mask,
         ref.image, ref.bkg, ref.bkg_std, ref.mask,
-        ys, xs, psf_n, psf_r, sn, sr, jnp.float32(fratio))
+        grid_c, psf_n, psf_r, sn, sr, jnp.float32(fratio))
 
     stats = {
         "z_fratio": fratio, "z_fratio_std": fstd,
