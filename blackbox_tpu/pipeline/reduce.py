@@ -203,20 +203,27 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
     clean, mask_m = jax.lax.optimization_barrier((clean, mask_m))
 
     # edge pixels -> channel median (reference blackbox.py:1968-1974);
-    # the median comes from a row-subsampled grid — sorting all 7M
+    # the median comes from an 8x8-subsampled grid — sorting all 7M
     # pixels per channel costs seconds on TPU for no statistical gain.
-    # ROWS only: a 2-D ::8,::8 stride lowers as a minor-axis gather
-    # (~17 ms true of the 29 ms edge-fill block, measured); the row
-    # stride is a contiguous slice and the extra columns just fatten
-    # the (cheap) 218k-element channel sorts
+    # The column subsample is a 0/1 SELECTION MATMUL, not a strided
+    # slice: a minor-axis ::8 stride lowers as a gather (~12 ns/elem,
+    # ~20 ms here), row-only striding fattens the sorts instead
+    # (54 -> 83 ms measured) — the MXU selection costs ~1 ms
     ch = geom.disassemble(clean)
     mk = geom.disassemble(mask_m)
-    ch_s = ch[:, ::8, :]
-    mk_s = mk[:, ::8, :]
+    xch = ch.shape[2]
+    nxc = xch // 8
+    sel = jnp.zeros((nxc, xch), jnp.float32).at[
+        jnp.arange(nxc), jnp.arange(nxc) * 8].set(1.0)
+    ch_r = ch[:, ::8, :]
+    mk_r = (mk[:, ::8, :] & maskbits.EDGE) != 0
+    ch_s = jnp.einsum("cyx,sx->cys", ch_r, sel,
+                      precision=jax.lax.Precision.HIGHEST)
+    mk_s = jnp.einsum("cyx,sx->cys", mk_r.astype(jnp.float32), sel,
+                      precision=jax.lax.Precision.HIGHEST) > 0.5
     C = ch.shape[0]
-    edge_s = (mk_s & maskbits.EDGE) != 0
     chan_med = masked_median(ch_s.reshape(C, -1),
-                             edge_s.reshape(C, -1), axis=1)
+                             mk_s.reshape(C, -1), axis=1)
     chan_med = jnp.nan_to_num(chan_med)
     edge = (mk & maskbits.EDGE) != 0
     ch = jnp.where(edge, chan_med[:, None, None], ch)

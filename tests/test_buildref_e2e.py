@@ -40,6 +40,7 @@ def multi_night(tmp_path_factory):
     return root, tree, results, sci_truths
 
 
+@pytest.mark.slow
 def test_build_reference_end_to_end(multi_night):
     root, tree, results, truths = multi_night
     sci = [r for r in results if r.header and

@@ -57,6 +57,7 @@ def test_slurm_runner_with_fake_backend(tmp_path):
     assert "log A" in txt and "log B" in txt and "=====" in txt
 
 
+@pytest.mark.slow
 def test_cli_single_image(tmp_path):
     import jax
     from blackbox_tpu.core.geometry import TINY

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -192,6 +193,7 @@ def test_radon_packing_parity(rng):
                                    rtol=0, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_satdet_finds_misaligned_long_trail(rng):
     """A long faint trail midway between the angle-grid angles smears
     over many offset bins; the single-line lit fraction collapses and
@@ -210,6 +212,7 @@ def test_satdet_finds_misaligned_long_trail(rng):
     assert cover.mean() > 0.8
 
 
+@pytest.mark.slow
 def test_satdet_seam_veto(rng):
     """A bright row exactly on a channel seam is an instrument
     artifact: vetoed when the seam coordinate is declared, detected

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from blackbox_tpu.astro.wcs import TanWCS
@@ -133,6 +134,7 @@ def test_measure_scaling_device_too_few_matches():
     assert float(dxr) == 0.5 and float(dyr) == 0.5
 
 
+@pytest.mark.slow
 def test_fused_science_step_end_to_end():
     """ONE jitted program raw -> transient catalog (TINY geometry):
     recovers the injected transient, the flux ratio, and agrees with the

@@ -43,6 +43,7 @@ def _one_science(tmp_path, rng, settings=None, pipe_kw=None, date="20260401"):
     return pipe, p, tree
 
 
+@pytest.mark.slow
 def test_bad_pixel_mask_wiring(tmp_path, rng):
     # a static BPM FITS flags a known pixel; the product mask must
     # carry the BAD bit there (reference blackbox.py:4375-4416)
@@ -66,6 +67,7 @@ def test_bad_pixel_mask_wiring(tmp_path, rng):
     assert np.asarray(mask).astype(np.uint8)[40, 50] & maskbits.BAD
 
 
+@pytest.mark.slow
 def test_nonlin_wiring(tmp_path, rng):
     # identical frames reduced with/without a non-linearity correction
     # must differ where the correction is non-zero
@@ -92,6 +94,7 @@ def test_nonlin_wiring(tmp_path, rng):
     assert 0.005 < abs(b1 - b0) / max(abs(b0), 1e-9) < 0.05, (b0, b1)
 
 
+@pytest.mark.slow
 def test_master_dark_wiring(tmp_path, rng):
     # create_mdark: reducing darks produces an e-/s-normalised master
     from blackbox_tpu.astro.time import iso2mjd
