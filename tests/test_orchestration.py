@@ -276,3 +276,31 @@ def test_run_day_device_batch_partial_chunk(tmp_path, rng):
            if res.header and str(res.header.get("IMAGETYP")) == "object"]
     assert len(sci) == 3
     assert all(r.status == "reduced" for r in sci)
+
+
+def test_night_summary_counts(tmp_path):
+    from blackbox_tpu.orchestration.paths import DataTree
+    from blackbox_tpu.report.obslog import night_summary
+
+    tree = DataTree(str(tmp_path), "ML1")
+    raw = tree.raw_dir("20260301")
+    os.makedirs(raw)
+    for n in ("bias1.fits.fz", "flat_q.fits.fz", "field1.fits.fz",
+              "field2.fits.fz"):
+        with open(os.path.join(raw, n), "wb") as fh:
+            fh.write(b"x")
+    rows = [
+        {"IMAGETYP": "object", "NOBJECTS": 1200, "QC-FLAG": "green",
+         "T-NTRANS": 4, "TQC-FLAG": "red", "N-SSO": 1},
+        {"IMAGETYP": "object", "NOBJECTS": 900, "QC-FLAG": "red",
+         "T-NTRANS": 0, "TQC-FLAG": "green", "N-SSO": 0},
+        {"IMAGETYP": "bias", "QC-FLAG": "green"},
+    ]
+    body = night_summary(tree, "20260301", "ML1", rows=rows)
+    assert "# raw images:       4 (1 biases, 0 darks, 1 flats, "\
+        "2 objects)" in body
+    assert "# reduced images:   3 (1 biases, 0 darks, 0 flats, "\
+        "2 objects)" in body
+    assert "# full-source cats: 2 (1 red-flagged)" in body
+    assert "# transient cats:   2 (1 red-flagged)" in body
+    assert "# SSO cats:         2 (1 empty)" in body
