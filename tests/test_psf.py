@@ -117,3 +117,30 @@ def test_psf_photometry_error_scale(rng):
     z = np.asarray(flux / ferr)
     assert abs(np.mean(z)) < 1.0
     assert 0.4 < np.std(z) < 3.0
+
+
+def test_psf_fits_roundtrip(tmp_path):
+    """PSFEx-spirit _psf.fits write/read preserves the model."""
+    import jax.numpy as jnp
+
+    from blackbox_tpu.io.psffits import read_psf, write_psf
+    from blackbox_tpu.ops.psf import PSFModel, psf_at
+
+    rng = np.random.default_rng(2)
+    basis = rng.normal(0, 1, (6, 15, 15)).astype(np.float32)
+    m = PSFModel(basis=jnp.asarray(basis),
+                 polzero_x=jnp.float32(100.0),
+                 polzero_y=jnp.float32(120.0),
+                 polscal_x=jnp.float32(50.0),
+                 polscal_y=jnp.float32(60.0), poldeg=2,
+                 nstars=jnp.int32(42), chi2=jnp.float32(1.25))
+    p = str(tmp_path / "x_psf.fits")
+    write_psf(p, m)
+    back = read_psf(p)
+    np.testing.assert_allclose(np.asarray(back.basis), basis, atol=1e-6)
+    assert back.poldeg == 2
+    assert int(back.nstars) == 42
+    # the reconstructed spatially-varying PSF evaluates identically
+    np.testing.assert_allclose(
+        np.asarray(psf_at(back, 140.0, 90.0)),
+        np.asarray(psf_at(m, 140.0, 90.0)), atol=1e-6)
