@@ -368,14 +368,15 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
                       / jnp.maximum(pid * pid, 1e-7))
         return jnp.where(jnp.abs(d) < a, w, 0.0)
 
-    def pass_strip(img, d, r0, r1, axis, mode):
-        n = img.shape[axis]
+    def pass_strip(imgs, d, r0, r1, axis, mode):
+        # imgs share the mapping: weights/rounding indices compute ONCE
+        n = imgs[0].shape[axis]
         pad = [(0, 0), (0, 0)]
         pad[axis] = (max(-r0, 0), max(r1, 0))
-        p = jnp.pad(img, pad, mode="edge")
+        ps = [jnp.pad(im, pad, mode="edge") for im in imgs]
         off = max(-r0, 0)
 
-        def sl(s):
+        def sl(p, s):
             i0 = off + s
             return (p[i0:i0 + n, :] if axis == 0 else p[:, i0:i0 + n])
 
@@ -383,54 +384,64 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
             # rounding needs no tap margin: shrink to the round range
             n0, n1 = r0 + a - 1, r1 - a + 1
             si = jnp.clip(jnp.round(d).astype(jnp.int32), n0, n1)
-            out = jnp.zeros_like(img)
+            outs = [jnp.zeros_like(im) for im in imgs]
             for s in range(n0, n1 + 1):
-                out = jnp.where(si == s, sl(s), out)
-            return out
-        acc = jnp.zeros_like(img)
+                m = si == s
+                outs = [jnp.where(m, sl(p, s), o)
+                        for p, o in zip(ps, outs)]
+            return outs
+        accs = [jnp.zeros_like(im) for im in imgs]
         norm = jnp.zeros(d.shape, jnp.float32)
         for s in range(r0, r1 + 1):
             w = tap(d - s)
             norm = norm + w
-            acc = acc + w * sl(s)
-        return acc / jnp.where(norm == 0, 1.0, norm)
+            accs = [acc + w * sl(p, s) for p, acc in zip(ps, accs)]
+        norm = jnp.where(norm == 0, 1.0, norm)
+        return [acc / norm for acc in accs]
 
-    def pass_axis(img, d, r, axis, mode):
+    def pass_axis(imgs, d, r, axis, mode):
         if isinstance(r[0], (int, np.integer)):
-            return pass_strip(img, d, r[0], r[1], axis, mode)
+            return pass_strip(imgs, d, r[0], r[1], axis, mode)
         # per-strip static ranges: the vertical pass strips along x
         # (row shift varies with x through the rotation sweep), the
         # horizontal pass along y — each strip fans over its LOCAL
         # range only, nearly halving the pass count at survey rotations
         B = len(r)
-        n_perp = img.shape[1 - axis]
-        outs = []
+        n_perp = imgs[0].shape[1 - axis]
+        blocks = []
         for b, (r0, r1) in enumerate(r):
             c0, c1 = (b * n_perp) // B, ((b + 1) * n_perp) // B
             if axis == 0:
-                outs.append(pass_strip(img[:, c0:c1], d[:, c0:c1],
-                                       r0, r1, axis, mode))
+                blocks.append(pass_strip(
+                    [im[:, c0:c1] for im in imgs], d[:, c0:c1],
+                    r0, r1, axis, mode))
             else:
-                outs.append(pass_strip(img[c0:c1, :], d[c0:c1, :],
-                                       r0, r1, axis, mode))
-        return jnp.concatenate(outs, axis=1 - axis)
+                blocks.append(pass_strip(
+                    [im[c0:c1, :] for im in imgs], d[c0:c1, :],
+                    r0, r1, axis, mode))
+        return [jnp.concatenate([blk[i] for blk in blocks],
+                                axis=1 - axis)
+                for i in range(len(imgs))]
 
-    outs = []
-    for src, mode, fill in zip(srcs, modes, fills):
+    unknown = set(modes) - {"lanczos", "nearest"}
+    if unknown:
+        raise ValueError(f"unknown resample mode(s) {unknown}")
+    results = {}
+    for mode in ("lanczos", "nearest"):
+        group = [i for i, m in enumerate(modes) if m == mode]
+        if not group:
+            continue
+        v = pass_axis([srcs[i] for i in group], dys, ry, 0, mode)
+        o = pass_axis(v, dxs, rx, 1, mode)
         if mode == "lanczos":
-            v = pass_axis(src, dys, ry, 0, "lanczos")
-            o = pass_axis(v, dxs, rx, 1, "lanczos")
             inb = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
-        elif mode == "nearest":
-            v = pass_axis(src.astype(src.dtype), dys, ry, 0,
-                          "nearest")
-            o = pass_axis(v, dxs, rx, 1, "nearest")
+        else:
             inb = (ys >= -0.5) & (ys <= H - 0.5) & (xs >= -0.5) & \
                 (xs <= W - 0.5)
-        else:
-            raise ValueError(f"unknown resample mode {mode!r}")
-        outs.append(jnp.where(inb, o, jnp.asarray(fill, src.dtype)))
-    return tuple(outs)
+        for i, oi in zip(group, o):
+            results[i] = jnp.where(inb, oi,
+                                   jnp.asarray(fills[i], srcs[i].dtype))
+    return tuple(results[i] for i in range(len(srcs)))
 
 
 def grid_row_margin(sy, step: int = 32, a: int = 3) -> int:
