@@ -126,7 +126,7 @@ def main():
     # and keep the best (each roll pays one tunnel compile, but the
     # winner persists in the cache for every later run)
     salt_path = os.path.join(cache_dir, "salt") if cache_dir else None
-    salts = [0, 1, 2, 3, 4]
+    salts = [0, 1, 2, 3, 4, 5, 6, 7]
     pinned_ms = None
     if salt_path and os.path.exists(salt_path):
         try:
@@ -150,7 +150,7 @@ def main():
               f"2-iter steady {t2 * 1e3:.1f} ms", file=sys.stderr)
         if best is None or t2 < best[3]:
             best = (salt, fn, res, t2)
-        if best[3] < 0.46:      # good roll — stop paying compiles
+        if best[3] < 0.42:      # good roll — stop paying compiles
             break
         # a pinned salt rolling within 8% of its recorded steady time
         # means the lottery landed where it always lands — stop paying
@@ -158,7 +158,7 @@ def main():
         if pinned_ms is not None and salt == salts[0] \
                 and best[3] * 1e3 <= pinned_ms * 1.08:
             break
-        if t_compile_total > 600.0:   # tunnel compiles can take minutes
+        if t_compile_total > 900.0:   # tunnel compiles can take minutes
             break
     salt, fn, res, _ = best
     if salt_path:

@@ -164,11 +164,12 @@ def segment_roots(seg, max_sources: int):
     root iff ``seg == its own flat index + 1``, and roots appear in
     raster order.  The compaction is hierarchical to avoid any
     full-frame 1-D scan (a flat ``cummax``+``cumsum`` over the 111 Mpx
-    costs 115 ms on a v5e — the scans, not the windows, dominated the
-    whole catalog stage): one axis-1 ``cumsum`` ranks roots within each
-    row (independent short scans, vectorised across rows), a tiny (H,)
-    cumsum locates the k-th root's row, and a 14-step vectorised binary
-    search over that row's rank finds its column.
+    costs 115 ms on a v5e, and even the row-wise i16 cumsum 41 ms —
+    the scans, not the windows, dominated the whole catalog stage):
+    in-row ranks come from a blocked MXU cumsum (one upper-triangular
+    (128, 128) matmul per block plus a tiny per-row block-offset
+    scan), a (H,) cumsum locates the k-th root's row, and a 14-step
+    vectorised binary search over that row's rank finds its column.
 
     For k past the last segment every level clamps to its end, so the
     returned index degrades to ``H*W - 1`` exactly like the old
@@ -177,19 +178,36 @@ def segment_roots(seg, max_sources: int):
     H, W = seg.shape
     idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W) + 1
     root = seg == idx                              # root-pixel mask
-    # i16 ranks: per-row counts are <= W < 32768, and the narrower
-    # cumsum writes half the bytes (41.3 vs 50.5 ms on chip)
-    rowcum = jnp.cumsum(root.astype(jnp.int16), axis=1)   # in-row rank
-    counts = rowcum[:, -1].astype(jnp.int32)       # roots per row
+    # in-row ranks WITHOUT a minor-axis scan: even the i16 cumsum's
+    # ~14 log-passes over the 111 Mpx frame cost 41 ms on chip.  The
+    # blocked form puts the FLOPs on the MXU instead: an intra-block
+    # inclusive cumsum is one (B, B) upper-triangular matmul (bf16
+    # inputs are exact 0/1, f32 accumulation is exact for any count
+    # < 2^24), and the per-row block offsets are a tiny (H, W/B) scan.
+    # rowcum[r, c] reconstructs as intra[r, c//B, c%B] + offs[r, c//B]
+    # at gather time — it is never materialised as one array.
+    B = 128
+    nbpad = -(-W // B)
+    rootp = root if nbpad * B == W else jnp.pad(
+        root, ((0, 0), (0, nbpad * B - W)))
+    xb = rootp.reshape(H, nbpad, B).astype(jnp.bfloat16)
+    tri = jnp.asarray(
+        jnp.triu(jnp.ones((B, B), jnp.float32)), jnp.bfloat16)
+    intra = jnp.matmul(xb, tri,
+                       preferred_element_type=jnp.float32)  # (H, nb, B)
+    bsum = intra[:, :, -1]                          # (H, nb)
+    offs = jnp.cumsum(bsum, axis=1) - bsum          # exclusive, (H, nb)
+    counts = (offs[:, -1] + bsum[:, -1]).astype(jnp.int32)  # roots/row
     before = jnp.cumsum(counts)                    # (H,) tiny scan
     ks = jnp.arange(1, max_sources + 1, dtype=jnp.int32)
     row = jnp.searchsorted(before, ks, side="left")
     rowc = jnp.clip(row, 0, H - 1).astype(jnp.int32)
     prev = jnp.where(rowc > 0, before[jnp.maximum(rowc - 1, 0)], 0)
     j = ks - prev                                  # 1-indexed in-row rank
+    jf = j.astype(jnp.float32)
 
     # smallest c with rowcum[rowc, c] >= j (binary search, all slots at
-    # once; each step is one (max_sources,) gather)
+    # once; each step is two (max_sources,) gathers)
     nbits = max(1, (W - 1).bit_length())
     lo = jnp.zeros_like(ks)
     hi = jnp.full_like(ks, W - 1)
@@ -197,8 +215,9 @@ def segment_roots(seg, max_sources: int):
     def step(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) // 2
-        v = rowcum[rowc, mid].astype(jnp.int32)
-        ge = v >= j
+        q = mid // B
+        v = intra[rowc, q, mid - q * B] + offs[rowc, q]   # exact int in f32
+        ge = v >= jf
         return (jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi))
 
     lo, _ = jax.lax.fori_loop(0, nbits, step, (lo, hi))

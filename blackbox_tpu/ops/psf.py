@@ -91,52 +91,77 @@ def n_basis(poldeg: int) -> int:
 
 
 def _vignette_grid(image_shape, xs, ys, size: int):
-    """Integer stamp origins + sub-pixel offsets for centred cutouts."""
+    """FLOOR stamp origins + scalar lerp fractions for centred cutouts.
+
+    The gather window is ``size + 1`` square at origin
+    ``floor(centre - size//2)`` clipped into the frame; the recentred
+    ``size``-stamp is a bilinear sample at PER-WINDOW SCALAR offsets
+    (:func:`_recenter_window`) — no per-element gathers.  Where the
+    origin clip binds (centres within half a window of the frame
+    border) the returned offsets carry an integer part that the
+    recentring absorbs with edge replication.
+    """
     H, W = image_shape
     half = size // 2
-    xi = jnp.round(xs).astype(jnp.int32)
-    yi = jnp.round(ys).astype(jnp.int32)
-    x0 = jnp.clip(xi - half, 0, W - size)
-    y0 = jnp.clip(yi - half, 0, H - size)
-    dx = xs - (x0.astype(jnp.float32) + half)
-    dy = ys - (y0.astype(jnp.float32) + half)
+    fy = ys - half
+    fx = xs - half
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, H - size - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, W - size - 1)
+    # window-local float shift: fractional in the interior, but up to
+    # ±(half+1) where the origin clip binds (centres within half a
+    # window of the frame border) — _recenter_window absorbs the
+    # integer part with border replication, like the old clamped
+    # per-element sampling did
+    dy = fy - y0.astype(jnp.float32)
+    dx = fx - x0.astype(jnp.float32)
     return y0, x0, dx, dy
 
 
-def _recenter_one(v, dxi, dyi):
-    """Shift ONE vignette by (-dx, -dy) with bilinear interpolation so
-    the star centroid lands on the central pixel."""
-    S = v.shape[-1]
-    g = jnp.arange(S, dtype=jnp.float32)
-    ys = g + dyi
-    xs = g + dxi
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, S - 2)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, S - 2)
-    fy = jnp.clip(ys - y0, 0.0, 1.0)
-    fx = jnp.clip(xs - x0, 0.0, 1.0)
-    v00 = v[y0][:, x0]
-    v01 = v[y0][:, x0 + 1]
-    v10 = v[y0 + 1][:, x0]
-    v11 = v[y0 + 1][:, x0 + 1]
-    return ((1 - fy)[:, None] * ((1 - fx) * v00 + fx * v01)
-            + fy[:, None] * ((1 - fx) * v10 + fx * v11))
+def _recenter_window(w, dxi, dyi):
+    """Recentred (S, S) stamp from ONE (S+1, S+1) floor-origin window.
+
+    Samples the window at ``g + dyi`` / ``g + dxi`` with border
+    replication, expressed as two tiny selection-lerp matmuls
+    (``My @ w @ Mx.T``) built from the per-window SCALAR shifts — no
+    per-element gathers (a vmapped fancy-index recentre lowers to 16
+    small gathers per window on TPU; the batched (S, S+1) matmuls are
+    MXU work).  In the interior ``dyi, dxi ∈ [0, 1)`` and the matrices
+    reduce to the plain 2-tap bilinear blend; where the vignette
+    origin was clipped at the frame border the integer part shifts the
+    sampling with edge replication, keeping the stamp centred on the
+    star exactly like the old clamped per-element path."""
+    S1 = w.shape[-1]
+    S = S1 - 1
+    g = jnp.arange(S, dtype=jnp.float32)[:, None]
+    k = jnp.arange(S1, dtype=jnp.float32)[None, :]
+
+    def sel(d):
+        s = jnp.floor(d)
+        t = d - s
+        c0 = jnp.clip(g + s, 0, S)
+        c1 = jnp.clip(g + s + 1, 0, S)
+        return (1.0 - t) * (k == c0) + t * (k == c1)     # (S, S+1)
+
+    out = jnp.matmul(sel(dyi), w, precision="highest")
+    return jnp.matmul(out, sel(dxi).T, precision="highest")
 
 
 def extract_vignettes(image, xs, ys, size: int, n_active=None):
-    """Centred cutouts with integer-pixel placement.
+    """Centred cutouts, recentred so the star centroid lands on the
+    central pixel (bilinear).
 
-    Returns (vignettes (N, size, size), dx, dy) where dx/dy are the
-    sub-pixel offsets of the true centre from the stamp centre pixel.
-    Slots past ``n_active`` are skipped in chunks (ops.windows).
+    Returns (vignettes (N, size, size), dx, dy) with dx/dy the lerp
+    fractions actually applied.  Slots past ``n_active`` are skipped in
+    chunks (ops.windows).
     """
-    from blackbox_tpu.ops.windows import gather_slot_windows
+    from blackbox_tpu.ops.windows import (chunked_slot_map,
+                                          gather_slot_windows)
     y0, x0, dx, dy = _vignette_grid(image.shape, xs, ys, size)
-    vig = gather_slot_windows(image, y0, x0, size, n_active=n_active)
+    w = gather_slot_windows(image, y0, x0, size + 1, n_active=n_active)
+    vig = chunked_slot_map(
+        lambda wi, dxi, dyi: _recenter_window(wi, dxi, dyi),
+        (w, dx, dy), n_active=n_active)
     return vig, dx, dy
-
-
-def _recenter(vig, dx, dy):
-    return jax.vmap(_recenter_one)(vig, dx, dy)
 
 
 def build_psf(image_bksub, bkg_std, cat, image_shape,
@@ -160,12 +185,13 @@ def build_psf(image_bksub, bkg_std, cat, image_shape,
 
     S = p.size
     y0, x0, dx, dy = _vignette_grid(image_shape, xs, ys, S)
-    v_all, sd_all = gather_slot_windows((image_bksub, bkg_std), y0, x0, S,
-                                        n_active=n_active)
+    v_all, sd_all = gather_slot_windows((image_bksub, bkg_std), y0, x0,
+                                        S + 1, n_active=n_active)
 
     def one(v, sd, dxi, dyi):
-        varo = sd ** 2 + jnp.maximum(v, 0.0)        # bkg + Poisson [e-]
-        return _recenter_one(v, dxi, dyi), varo
+        vr = _recenter_window(v, dxi, dyi)
+        varo = sd[:-1, :-1] ** 2 + jnp.maximum(v[:-1, :-1], 0.0)
+        return vr, varo                             # bkg + Poisson [e-]
 
     vig, var = chunked_slot_map(one, (v_all, sd_all, dx, dy),
                                 n_active=n_active)
@@ -279,8 +305,8 @@ def psf_photometry(image_bksub, bkg_std, model: PSFModel, xs, ys,
                                           gather_slot_windows)
     S = model.basis.shape[-1] if window is None else window
     y0, x0, dx, dy = _vignette_grid(image_bksub.shape, xs, ys, S)
-    v_all, sd_all = gather_slot_windows((image_bksub, bkg_std), y0, x0, S,
-                                        n_active=n_active)
+    v_all, sd_all = gather_slot_windows((image_bksub, bkg_std), y0, x0,
+                                        S + 1, n_active=n_active)
 
     def one(v, sd, dxi, dyi, xi, yi):
         # recenter the DATA with the same bilinear shift used on the
@@ -288,8 +314,8 @@ def psf_photometry(image_bksub, bkg_std, model: PSFModel, xs, ys,
         # interpolation smoothing, so the matched-filter scale is
         # unbiased (recentring the PSF instead would smooth it twice ->
         # %-level flux-scale errors)
-        v = _recenter_one(v, dxi, dyi)
-        sd = _recenter_one(sd, dxi, dyi)
+        v = _recenter_window(v, dxi, dyi)
+        sd = _recenter_window(sd, dxi, dyi)
         P = psf_at(model, xi, yi)                    # (S, S)
         # background-only variance in the weights: including the
         # source's own Poisson noise correlates weights with data and
