@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from blackbox_tpu.core import maskbits
-from blackbox_tpu.ops.morphology import binary_dilation, binary_closing, fill_holes
+from blackbox_tpu.ops.morphology import satcon_close_fill
 
 
 def build_mask(chan_data, bpm, satlevel_adu, gains, biasm, nx: int = 8,
@@ -78,16 +78,13 @@ def build_mask(chan_data, bpm, satlevel_adu, gains, biasm, nx: int = 8,
 
     mask = jnp.where(mask_sat, mask | maskbits.SATURATED, mask)
 
-    # saturated-connected: one 3x3 dilation ring
+    # saturated-connected ring + close/fill of the blob, fused into one
+    # packed morphology round trip (bit-identical to the separate
+    # dilation/closing/fill calls; ops.morphology.satcon_close_fill)
     import jax
-    dil = jax.vmap(lambda m: binary_dilation(m, 1))(mask_sat)
-    satcon_add = dil & ~mask_sat
+    satcon_add, filled = jax.vmap(
+        lambda m: satcon_close_fill(m, fill_iters))(mask_sat)
     mask = jnp.where(satcon_add, mask | maskbits.SAT_CONNECTED, mask)
-
-    # close + fill holes of the sat|satcon blob, new pixels -> satcon
-    blob = mask_sat | satcon_add
-    closed = jax.vmap(binary_closing)(blob)
-    filled = jax.vmap(lambda m: fill_holes(m, fill_iters))(closed)
     add = filled & (mask == 0)
     mask = jnp.where(add, jnp.uint8(maskbits.SAT_CONNECTED), mask)
 

@@ -70,3 +70,14 @@ def test_fill_holes_vmapped(rng):
     got = np.asarray(jax.vmap(lambda a: fill_holes(a, 3))(jnp.asarray(ms)))
     for k in range(2):
         np.testing.assert_array_equal(got[k], ndi.binary_fill_holes(ms[k]))
+
+
+def test_satcon_close_fill_matches_separate_calls(rng):
+    from blackbox_tpu.ops.morphology import satcon_close_fill
+    m = jnp.asarray(_blobby(rng))
+    satcon, filled = satcon_close_fill(m, fill_iters=1)
+    dil = binary_dilation(m, 1)
+    ref_satcon = dil & ~m
+    ref_filled = fill_holes(binary_closing(m | ref_satcon), 1)
+    assert np.array_equal(np.asarray(satcon), np.asarray(ref_satcon))
+    assert np.array_equal(np.asarray(filled), np.asarray(ref_filled))
