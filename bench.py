@@ -150,7 +150,7 @@ def main():
               f"2-iter steady {t2 * 1e3:.1f} ms", file=sys.stderr)
         if best is None or t2 < best[3]:
             best = (salt, fn, res, t2)
-        if best[3] < 0.42:      # good roll — stop paying compiles
+        if best[3] < 0.36:      # good roll — stop paying compiles
             break
         # a pinned salt rolling within 8% of its recorded steady time
         # means the lottery landed where it always lands — stop paying

