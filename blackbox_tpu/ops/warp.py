@@ -360,14 +360,6 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
     dys = ys - yy
     dxs = xs - xx
 
-    def tap(d):
-        # un-normalised Lanczos-a weight at offset d, |d| < a
-        pid = jnp.pi * d
-        w = jnp.where(jnp.abs(d) < 1e-7, 1.0,
-                      a * jnp.sin(pid) * jnp.sin(pid / a)
-                      / jnp.maximum(pid * pid, 1e-7))
-        return jnp.where(jnp.abs(d) < a, w, 0.0)
-
     def pass_strip(imgs, d, r0, r1, axis, mode):
         # imgs share the mapping: weights/rounding indices compute ONCE
         n = imgs[0].shape[axis]
@@ -390,10 +382,32 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
                 outs = [jnp.where(m, sl(p, s), o)
                         for p, o in zip(ps, outs)]
             return outs
+        # Lanczos taps via the angle-addition identity: the naive
+        # tap(d - s) evaluates 2 transcendentals per SHIFT per pixel
+        # (~16 sin/px/pass at survey ranges — the VPU cost of the whole
+        # remap); instead hoist 3 per PASS,
+        #   sin(pi(d-s))   = sin(pi d) * (-1)^s
+        #   sin(pi(d-s)/a) = sin(pi d/a) cos(pi s/a)
+        #                  - cos(pi d/a) sin(pi s/a)
+        # with the s-phases as host constants, so each tap is a few
+        # mults + one reciprocal.
+        import math
+        pid = jnp.pi * d
+        s_pi = jnp.sin(pid)
+        s_pa = jnp.sin(pid / a)
+        c_pa = jnp.cos(pid / a)
         accs = [jnp.zeros_like(im) for im in imgs]
         norm = jnp.zeros(d.shape, jnp.float32)
         for s in range(r0, r1 + 1):
-            w = tap(d - s)
+            ds = d - s
+            sgn = float((-1.0) ** (s % 2))
+            cs = float(math.cos(math.pi * s / a))
+            ss = float(math.sin(math.pi * s / a))
+            num = (a * sgn) * s_pi * (s_pa * cs - c_pa * ss)
+            pid2 = (jnp.pi * ds) ** 2
+            w = jnp.where(jnp.abs(ds) < 1e-7, 1.0,
+                          num / jnp.maximum(pid2, 1e-7))
+            w = jnp.where(jnp.abs(ds) < a, w, 0.0)
             norm = norm + w
             accs = [acc + w * sl(p, s) for p, acc in zip(ps, accs)]
         norm = jnp.where(norm == 0, 1.0, norm)
