@@ -122,9 +122,18 @@ def main():
             ts.append(time.time() - t0)
         return fn, res, t_compile, min(ts)
 
-    # load the previously-winning salt; otherwise roll up to 3 salts
-    # and keep the best (each roll pays one tunnel compile, but the
-    # winner persists in the cache for every later run)
+    # program fingerprint: the autotune lottery re-rolls whenever the
+    # traced program changes, so a salt pinned for an OLD program must
+    # not stop exploration for a new one (observed 53% salt spread on
+    # one program — a stale pin can strand the bench far off its best
+    # roll).  StableHLO text of the unsalted step is a stable key.
+    import hashlib
+    fp = hashlib.sha256(
+        jax.jit(step).lower(*args).as_text().encode()).hexdigest()[:16]
+
+    # load the previously-winning salt; otherwise roll all salts and
+    # keep the best (each roll pays one tunnel compile, but the winner
+    # persists in the cache for every later run)
     salt_path = os.path.join(cache_dir, "salt") if cache_dir else None
     salts = [0, 1, 2, 3, 4, 5, 6, 7]
     pinned_ms = None
@@ -133,10 +142,11 @@ def main():
             with open(salt_path) as f:
                 parts = f.read().split()
             pinned = int(parts[0])
-            pinned_ms = float(parts[1]) if len(parts) > 1 else None
-            # try the pinned winner first; if the program has changed
-            # since it was pinned (new module hash => fresh lottery) and
-            # it now rolls badly, the loop below keeps exploring
+            if len(parts) > 2 and parts[2] == fp:
+                pinned_ms = float(parts[1])
+            # try the pinned winner first; the early-stop below only
+            # engages when the fingerprint still matches the program
+            # the pin was recorded for
             salts = [pinned] + [s for s in salts if s != pinned]
         except (ValueError, OSError):
             pass
@@ -164,7 +174,7 @@ def main():
     if salt_path:
         try:
             with open(salt_path, "w") as f:
-                f.write(f"{salt} {best[3] * 1e3:.1f}")
+                f.write(f"{salt} {best[3] * 1e3:.1f} {fp}")
         except OSError:
             pass
     print(f"# picked salt {salt}; "
@@ -192,7 +202,7 @@ def main():
     # frame flow, blackbox.py:1474-1991 + 2429-2568)
     sci_fps = None
     try:
-        sci_fps = science_bench(ctx, geom, args, xtalk)
+        sci_fps = science_bench(ctx, geom, args, xtalk, cache_dir)
     except Exception as e:                 # noqa: BLE001
         print(f"# science bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
@@ -210,7 +220,7 @@ def main():
     print(json.dumps(out))
 
 
-def science_bench(ctx, geom, args, xtalk) -> float:
+def science_bench(ctx, geom, args, xtalk, cache_dir=None) -> float:
     """Steady frames/s of the two-program raw->transient path."""
     import jax
     import jax.numpy as jnp
@@ -266,25 +276,91 @@ def science_bench(ctx, geom, args, xtalk) -> float:
     ref_cat["y"] = jnp.asarray(cy + st * rx + ct * ry, jnp.float32)
     ranges = grid_shift_ranges(sy, sx, step=step_px, blocks=8)
 
-    front, back = make_science_programs(ctx, xtalk, remap_ranges=ranges,
-                                        remap_step=step_px)
+    def make_pair(salt: int):
+        front, back = make_science_programs(
+            ctx, xtalk, remap_ranges=ranges, remap_step=step_px,
+            salt=salt)
 
-    def run_pair(chan):
-        f = front(chan, osv, osh, mbias, mflat, None)
-        b = back(f["sub"], f["bkg_std"], f["mask"], f["psf_centre"],
-                 f["cat"], f["stats"]["bkg_std"], ref_sub, ref_std,
-                 ref_mask, grid, psf_r, sr, ref_cat)
-        small = {"ntrans": b["trans_stats"]["t_ntrans"],
-                 "fratio": b["trans_stats"]["z_fratio"]}
-        del f, b        # big planes stream to the writer in production
-        return small
+        def run_pair(chan):
+            f = front(chan, osv, osh, mbias, mflat, None)
+            b = back(f["sub"], f["bkg_std"], f["mask"], f["psf_centre"],
+                     f["cat"], f["stats"]["bkg_std"], ref_sub, ref_std,
+                     ref_mask, grid, psf_r, sr, ref_cat)
+            small = {"ntrans": b["trans_stats"]["t_ntrans"],
+                     "fratio": b["trans_stats"]["z_fratio"]}
+            del f, b    # big planes stream to the writer in production
+            return small
 
-    t0 = time.time()
-    r = run_pair(chan.copy())
-    float(r["ntrans"])
-    print(f"# science: compile+first {time.time()-t0:.1f}s "
-          f"fratio={float(r['fratio']):.4f}", file=sys.stderr)
-    del r
+        return front, back, run_pair
+
+    # fingerprint the science path so a pinned salt only
+    # short-circuits exploration while the PROGRAM is unchanged — the
+    # autotune lottery re-rolls per module hash (~50% same-program
+    # spread measured; PERF_NOTES.md).  Source files of every module
+    # the pair traces through stand in for the module hash.
+    import hashlib
+    import blackbox_tpu.pipeline.subtract as _m1
+    import blackbox_tpu.pipeline.reduce as _m2
+    import blackbox_tpu.ops.zogy as _m3
+    import blackbox_tpu.ops.transients as _m4
+    import blackbox_tpu.ops.warp as _m5
+    h = hashlib.sha256()
+    for m in (_m1, _m2, _m3, _m4, _m5):
+        with open(m.__file__, "rb") as f:
+            h.update(f.read())
+    fp = h.hexdigest()[:16]
+    pin_path = (os.path.join(cache_dir, "salt_sci")
+                if cache_dir else None)
+    salts = [1, 2, 3, 4]
+    pinned_ms = None
+    if pin_path and os.path.exists(pin_path):
+        try:
+            with open(pin_path) as f:
+                parts = f.read().split()
+            pinned = int(parts[0])
+            if len(parts) > 2 and parts[2] == fp:
+                pinned_ms = float(parts[1])
+            salts = [pinned] + [s for s in salts if s != pinned]
+        except (ValueError, OSError):
+            pass
+
+    best = None
+    t_compile_total = 0.0
+    for salt in salts:
+        _, _, run_pair = make_pair(salt)
+        t0 = time.time()
+        r = run_pair(chan.copy())
+        float(r["ntrans"])
+        t_c = time.time() - t0
+        t_compile_total += t_c
+        del r
+        ts = []
+        for i in range(2):
+            a0 = chan + jnp.float32(100 * salt + i + 7) * 1e-7
+            float(jnp.sum(a0.ravel()[:4]))
+            t0 = time.time()
+            r = run_pair(a0)
+            float(r["ntrans"])
+            ts.append(time.time() - t0)
+            del r
+        t2 = min(ts)
+        print(f"# science salt {salt}: compile+first {t_c:.1f}s, "
+              f"2-iter steady {t2*1e3:.1f} ms", file=sys.stderr)
+        if best is None or t2 < best[1]:
+            best = (salt, t2, run_pair)
+        if pinned_ms is not None and salt == salts[0] \
+                and best[1] * 1e3 <= pinned_ms * 1.08:
+            break
+        if t_compile_total > 600.0:
+            break
+    salt, _, run_pair = best
+    if pin_path:
+        try:
+            with open(pin_path, "w") as f:
+                f.write(f"{salt} {best[1] * 1e3:.1f} {fp}")
+        except OSError:
+            pass
+    print(f"# science picked salt {salt}", file=sys.stderr)
 
     n_iter = 5
     t0 = time.time()

@@ -296,7 +296,8 @@ def make_science_programs(ctx, xtalk_coeffs=None,
                           trans_params: TransientParams =
                           TransientParams(), donate: bool = True,
                           remap_margin: int = 64, remap_ranges=None,
-                  remap_step: int | None = None):
+                          remap_step: int | None = None,
+                          salt: int = 0):
     """The production full-scale raw->transient path as TWO jitted
     device programs dispatched back-to-back with NO host sync between
     them.
@@ -330,6 +331,19 @@ def make_science_programs(ctx, xtalk_coeffs=None,
                              sr, ref_cat, zogy_params, trans_params,
                              remap_margin, remap_ranges, remap_step)
 
+    if salt:
+        # the TPU compiler's autotuning is seeded by the module hash,
+        # which includes the jitted function's NAME: renaming re-rolls
+        # the compile lottery (same-program executables land up to
+        # ~50% apart on v5e; PERF_NOTES.md).  Callers probe a few
+        # salts and pin the winner in the persistent compile cache.
+        import types
+        front = types.FunctionType(front.__code__, front.__globals__,
+                                   name=f"front_s{salt}",
+                                   closure=front.__closure__)
+        back = types.FunctionType(back.__code__, back.__globals__,
+                                  name=f"back_s{salt}",
+                                  closure=back.__closure__)
     return (jax.jit(front),
             jax.jit(back, donate_argnums=(0, 1) if donate else ()))
 
