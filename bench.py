@@ -47,7 +47,7 @@ def main():
     s = ReductionSettings(geometry=geom)
     ctx = ReduceContext.from_settings(
         s, "ML1",
-        lac_params=LACosmicParams(strip_rows=264),
+        lac_params=LACosmicParams(strip_rows=176),
         det_params=DetectParams(max_sources=20000, label_iters=32),
     )
 

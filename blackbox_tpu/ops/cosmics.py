@@ -13,6 +13,17 @@ cleaning, fixed ``niter``.
 The subsampled Laplacian is evaluated in closed form (no 4x intermediate);
 median filters come from :mod:`blackbox_tpu.ops.filters` (strip-tiled jnp),
 with the fused Pallas path selectable for the hot production pipeline.
+
+Clean-once semantics (deliberate deviation from astroscrappy): each
+cosmic pixel is replaced exactly once, in the iteration that detects it.
+astroscrappy re-cleans EVERY flagged pixel every iteration, which only
+changes pixels with zero good neighbours in their 5x5 (their replacement
+is the unmasked-median fallback, which drifts as neighbours get cleaned)
+— pixels that are masked in the output either way.  Under clean-once an
+iteration that detects nothing new is a provable no-op, so iterations
+after a zero-new round are skipped (``lax.cond``), the sharded
+fixed-trip path stays bit-identical to the guarded one, and window
+scatters for unchanged windows are elided.
 """
 
 from __future__ import annotations
@@ -20,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+from jax import lax
 
 from blackbox_tpu.ops.filters import (
     median_filter, masked_median_filter, laplacian_subsampled, dilate)
@@ -31,7 +43,9 @@ class LACosmicParams:
     sigfrac: float = 0.01
     objlim: float = 3.0
     niter: int = 3
-    strip_rows: int = 264
+    # strip height for the dense median networks; swept on v5e at
+    # 10560²: 176 -> 196.8 ms, 264 -> 204.5, 352 -> 218.6, 528 -> 226.8
+    strip_rows: int = 176
     # capacity of the sparse cleaning pass (cosmic pixels per frame);
     # pixels beyond it stay uncleaned that iteration.  0 = dense clean.
     # Default dense: measured at full frame, the sparse pass LOSES
@@ -110,14 +124,29 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams(),
     if p.sepmed:
         from blackbox_tpu.ops.filters import median_filter_sep
         medf = lambda a, k: median_filter_sep(a, k, p.strip_rows)  # noqa
-        for _ in range(p.niter):
+
+        def sep_iter(ops):
+            clean, crmask = ops
             cosm, m5un = _detect_math(clean, ~inmask, rdnoise, p, medf,
                                       laplacian_subsampled)
-            counts.append(jnp.sum(cosm & ~crmask))
+            new = cosm & ~crmask
             crmask = crmask | cosm
             repl = masked_median_filter(clean, crmask | inmask, 5,
                                         p.strip_rows, fallback=m5un)
-            clean = jnp.where(crmask, repl, clean)
+            return jnp.where(new, repl, clean), crmask
+
+        last = None
+        for _ in range(p.niter):
+            prev = jnp.sum(crmask)
+            if last is None:
+                clean, crmask = sep_iter((clean, crmask))
+            else:
+                # an iteration after a zero-new round is a no-op (see
+                # the clean-once note in the module docstring): skip it
+                clean, crmask = lax.cond(last > 0, sep_iter,
+                                         lambda o: o, (clean, crmask))
+            last = jnp.sum(crmask) - prev
+            counts.append(last)
         return clean, crmask, jnp.stack(counts)
 
     # the windowed machinery gathers data windows but not rdnoise
@@ -131,6 +160,7 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams(),
                          "path and would silently skip the requested "
                          "pre-screen")
     if windowed:
+        last = None
         for it in range(p.niter):
             if it == 0 and p.prescreen:
                 # cheap exact-superset seed screen (separable extrema
@@ -143,6 +173,7 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams(),
                     clean, crmask, inmask, rdnoise, p, detect=True,
                     place_mask=seeds)
                 counts.append(jnp.sum(crmask))
+                last = counts[-1]
             elif it == 0:
                 # dense detection (no prior to localise),
                 # then windowed cleaning at the detected cells only
@@ -154,35 +185,55 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams(),
                 crmask = crmask | cosm
                 clean, crmask = _windowed_pass(
                     clean, crmask, inmask, rdnoise, p, detect=False)
+                last = counts[-1]
             else:
                 prev = jnp.sum(crmask)
-                clean, crmask = _windowed_pass(
-                    clean, crmask, inmask, rdnoise, p, detect=True)
-                counts.append(jnp.sum(crmask) - prev)
+
+                def wpass(ops):
+                    return _windowed_pass(ops[0], ops[1], inmask,
+                                          rdnoise, p, detect=True)
+
+                # an iteration following a zero-new round is a no-op
+                # under clean-once semantics — skip its window pass
+                clean, crmask = lax.cond(last > 0, wpass,
+                                         lambda o: o, (clean, crmask))
+                last = jnp.sum(crmask) - prev
+                counts.append(last)
         return clean, crmask, jnp.stack(counts)
 
-    for _ in range(p.niter):
+    def dense_iter(ops):
+        clean, crmask = ops
         cosm, m5un = _detect_math(
             clean, ~inmask, rdnoise, p,
             lambda a, k: median_filter(a, k, p.strip_rows),
             laplacian_subsampled)
-
         new = cosm & ~crmask
-        counts.append(jnp.sum(new))
         crmask = crmask | cosm
-
-        # medmask cleaning: masked 5x5 median of good pixels
+        # medmask cleaning: masked 5x5 median of good pixels, applied
+        # to this round's NEW detections (clean-once semantics)
         bad = crmask | inmask
         if p.clean_cap > 0:
             # sparse: medians evaluated only AT cosmic pixels (a dense
             # masked median costs ~0.3 s/frame for <0.1% dirty pixels)
             m5 = jnp.maximum(m5un, 1e-5)
-            clean = _sparse_masked_clean(clean, crmask, bad, m5,
+            clean = _sparse_masked_clean(clean, new, bad, m5,
                                          p.clean_cap)
         else:
             repl = masked_median_filter(clean, bad, 5, p.strip_rows,
                                         fallback=m5un)
-            clean = jnp.where(crmask, repl, clean)
+            clean = jnp.where(new, repl, clean)
+        return clean, crmask
+
+    last = None
+    for _ in range(p.niter):
+        prev = jnp.sum(crmask)
+        if last is None:
+            clean, crmask = dense_iter((clean, crmask))
+        else:
+            clean, crmask = lax.cond(last > 0, dense_iter,
+                                     lambda o: o, (clean, crmask))
+        last = jnp.sum(crmask) - prev
+        counts.append(last)
 
     return clean, crmask, jnp.stack(counts)
 
@@ -228,14 +279,20 @@ def _lacosmic_dense_coords(data, inmask, rdnoise, p, coords):
     clean = data
     crmask = jnp.zeros(data.shape, bool)
     counts = []
+    # fixed-trip iterations, NO early-exit guard: the guard would need
+    # the GLOBAL new-detection count (a psum under shard_map).  Under
+    # clean-once semantics an iteration after a global zero-new round
+    # is a provable no-op, so running it anyway stays bit-identical to
+    # the guarded unsharded path.
     for _ in range(p.niter):
         cosm, m5un = _detect_math(clean, ~inmask, rdnoise, p, medf, lapf)
-        counts.append(jnp.sum(cosm & ~crmask))
+        new = cosm & ~crmask
+        counts.append(jnp.sum(new))
         crmask = crmask | cosm
         bad = crmask | inmask
         repl = _win_masked_median(clean, bad.astype(jnp.float32), m5un,
                                   bk(2))
-        clean = jnp.where(crmask, repl, clean)
+        clean = jnp.where(new, repl, clean)
     return clean, crmask, jnp.stack(counts)
 
 
@@ -434,8 +491,9 @@ def _windowed_pass(clean, crmask, inmask, rdnoise, p, detect: bool,
     Pi = jnp.pad(inmask.astype(jnp.float32), pad2, mode="edge")
     Pm = jnp.pad(crmask.astype(jnp.float32), pad2, mode="edge")
 
-    def body(cw, iw, mw, oy, ox):
-        """One window: cw/iw/mw (WS, WS); oy/ox = frame-coord origin."""
+    def _frames(oy, ox):
+        """Window frame-coordinate helpers: in-frame mask, border masks
+        at stencil radius pk, and the exact frame-border ring."""
         ys = oy + jnp.arange(WS, dtype=jnp.int32)
         xs = ox + jnp.arange(WS, dtype=jnp.int32)
         in_f = (((ys >= 0) & (ys < H))[:, None]
@@ -447,21 +505,37 @@ def _windowed_pass(clean, crmask, inmask, rdnoise, p, detect: bool,
 
         ring = (((ys == 0) | (ys == H - 1))[:, None]
                 | ((xs == 0) | (xs == W - 1))[None, :])
+        return in_f, bk, ring
+
+    def body_detect(cw, iw, mw, oy, ox):
+        """Detection phase of one window (no cleaning math)."""
+        in_f, bk, ring = _frames(oy, ox)
         medf = lambda a, k: _win_median(a, k, bk(k // 2))  # noqa: E731
         good = (iw <= 0.5) & in_f
-        crm = mw > 0.5
+        crm0 = mw > 0.5
         if detect:
             cosm, m5un = _detect_math(
                 cw, good, rdnoise, p, medf,
                 lambda v: _win_laplacian(v, ring))
             cosm = cosm & in_f
-            crm = crm | cosm
+            new = cosm & ~crm0
+            crm = crm0 | cosm
         else:
+            # clean pass after a dense detection round: every placed
+            # pixel is a new detection (clean-once semantics)
             m5un = medf(cw, 5)
+            new = crm0
+            crm = crm0
+        # changed=False means cleaning would be the identity and crm ==
+        # crm0 everywhere: the caller skips the clean and the scatter
+        return new, crm, m5un, jnp.any(new)
+
+    def body_clean(cw, iw, new, crm, m5un, oy, ox):
+        """Cleaning phase: masked 5x5 median at this round's new px."""
+        _, bk, _ = _frames(oy, ox)
         badf = jnp.maximum(crm.astype(jnp.float32), iw)
         repl = _win_masked_median(cw, badf, m5un, bk(2))
-        cw2 = jnp.where(crm, repl, cw)
-        return cw2, crm.astype(jnp.float32)
+        return jnp.where(new, repl, cw)
 
     def run_chunk(ci, carry):
         OC, OM = carry
@@ -474,20 +548,44 @@ def _windowed_pass(clean, crmask, inmask, rdnoise, p, detect: bool,
             g = lambda P: jax.vmap(                     # noqa: E731
                 lambda y, x: lax.dynamic_slice(P, (y, x), (WS, WS))
             )(oy_p, ox_p)
-            CW, CM = jax.vmap(body)(g(Pc), g(Pi), g(Pm),
-                                    oy_p - M, ox_p - M)
-
-            def sc(j, car2):
-                OC2, OM2 = car2
-                y = oy_p[j] + (M - SM)
-                x = ox_p[j] + (M - SM)
-                sl = (slice(M - SM, M + CS + SM),) * 2
-                OC2 = lax.dynamic_update_slice(OC2, CW[j][sl], (y, x))
-                OM2 = lax.dynamic_update_slice(OM2, CM[j][sl], (y, x))
-                return OC2, OM2
-
+            CWin, IWin = g(Pc), g(Pi)
+            NEW, CRM, M5, CH = jax.vmap(body_detect)(
+                CWin, IWin, g(Pm), oy_p - M, ox_p - M)
             nin = jnp.clip(nact - c0, 0, chunk)
-            return lax.fori_loop(0, nin, sc, (OC, OM))
+            # padded slots beyond nact gather real (clamped) windows —
+            # mask their change flags so they neither trigger the clean
+            # phase nor scatter
+            CH = CH & (jnp.arange(chunk) < nin)
+
+            def clean_scatter(car2):
+                CW = jax.vmap(body_clean)(CWin, IWin, NEW, CRM, M5,
+                                          oy_p - M, ox_p - M)
+                CMf = CRM.astype(jnp.float32)
+
+                def sc(j, car3):
+                    def wr(car4):
+                        OC2, OM2 = car4
+                        y = oy_p[j] + (M - SM)
+                        x = ox_p[j] + (M - SM)
+                        sl = (slice(M - SM, M + CS + SM),) * 2
+                        OC2 = lax.dynamic_update_slice(OC2, CW[j][sl],
+                                                       (y, x))
+                        OM2 = lax.dynamic_update_slice(OM2, CMf[j][sl],
+                                                       (y, x))
+                        return OC2, OM2
+
+                    # a window with no new pixels would scatter back
+                    # the exact values already in the canvases — skip
+                    # its two sequential update ops
+                    return lax.cond(CH[j], wr, lambda c: c, car3)
+
+                return lax.fori_loop(0, nin, sc, car2)
+
+            # detection-only iterations that confirm "nothing new" in
+            # this chunk skip the masked-median math and the whole
+            # scatter chain
+            return lax.cond(jnp.any(CH), clean_scatter,
+                            lambda c: c, (OC, OM))
 
         return lax.cond(c0 < nact, do, lambda car: car, (OC, OM))
 
@@ -501,13 +599,15 @@ def _windowed_pass(clean, crmask, inmask, rdnoise, p, detect: bool,
                 clean, ~inmask, rdnoise, p,
                 lambda a, k: median_filter(a, k, p.strip_rows),
                 laplacian_subsampled)
+            new = cosm & ~crmask
             crm = crmask | cosm
         else:
             m5un = median_filter(clean, 5, p.strip_rows)
+            new = crmask
             crm = crmask
         repl = masked_median_filter(clean, crm | inmask, 5,
                                     p.strip_rows, fallback=m5un)
-        return jnp.where(crm, repl, clean), crm
+        return jnp.where(new, repl, clean), crm
 
     return lax.cond(nact <= cap, windowed, dense, 0)
 
