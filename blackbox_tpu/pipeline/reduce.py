@@ -32,7 +32,7 @@ from blackbox_tpu.ops.gain import gain_correct
 from blackbox_tpu.ops.overscan import overscan_correct, OverscanParams
 from blackbox_tpu.ops.nonlin import nonlin_correct
 from blackbox_tpu.ops.masking import build_mask
-from blackbox_tpu.ops.xtalk import xtalk_correct
+from blackbox_tpu.ops.xtalk import xtalk_correct, xtalk_correct_mosaic
 from blackbox_tpu.ops.cosmics import lacosmic, LACosmicParams
 from blackbox_tpu.ops.satdet import detect_trails, SatDetParams
 from blackbox_tpu.ops.labeling import euler_count
@@ -171,12 +171,19 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
 
     clean, mask_m = jax.lax.optimization_barrier((clean, mask_m))
 
-    # crosstalk on the cleaned mosaic (channel-stack einsum)
+    # crosstalk on the cleaned mosaic.  The two-row mirrored-readout
+    # layout gets the mosaic-native block contraction (no 16-way
+    # disassemble/assemble: 18.8 vs 27.0 ms on v5e, bit-parity-tested);
+    # other geometries take the channel-stack einsum
     if xtalk_coeffs is not None:
-        ch = geom.disassemble(clean)
-        mk = geom.disassemble(mask_m)
-        ch = xtalk_correct(ch, mk, xtalk_coeffs, geom.nx)
-        clean = geom.assemble(ch)
+        if geom.ny == 2:
+            clean = xtalk_correct_mosaic(clean, mask_m, xtalk_coeffs,
+                                         geom.ny, geom.nx)
+        else:
+            ch = geom.disassemble(clean)
+            mk = geom.disassemble(mask_m)
+            ch = xtalk_correct(ch, mk, xtalk_coeffs, geom.nx)
+            clean = geom.assemble(ch)
 
     # satellite trails.  EDGE pixels are excluded too: they are overscan
     # artefacts forming genuine straight lines along the channel seams

@@ -122,6 +122,51 @@ def test_full_science_calibration_smoke(rng):
     assert abs(med - truth.sky) / truth.sky < 0.15
 
 
+def test_xtalk_mosaic_matches_stack(rng):
+    """The mosaic-native block contraction must reproduce the
+    channel-stack einsum on the assembled frame (same physics, no
+    16-way disassemble/assemble)."""
+    import jax
+    from blackbox_tpu.core.geometry import MEERLICHT
+    from blackbox_tpu.core import maskbits
+    from blackbox_tpu.ops.xtalk import xtalk_correct_mosaic
+
+    geom = MEERLICHT
+    C, ych, xch = geom.n_chan, 24, 20
+    data = jnp.asarray(rng.normal(1000.0, 10.0, (C, ych, xch)),
+                       jnp.float32)
+    mask = jnp.where(jnp.asarray(rng.uniform(size=(C, ych, xch)) < 0.05),
+                     jnp.uint8(maskbits.COSMIC), jnp.uint8(0))
+    mask = mask.at[0, :2, :].set(maskbits.EDGE)
+    coeffs = rng.uniform(-2e-4, 2e-4, (C, C)).astype(np.float32)
+
+    class G:          # 24x20-channel toy geometry, same ny/nx layout
+        ny, nx = geom.ny, geom.nx
+    mos = jnp.concatenate([
+        jnp.concatenate([data[iy * G.nx + ix] for ix in range(G.nx)],
+                        axis=1) for iy in range(G.ny)], axis=0)
+    mmk = jnp.concatenate([
+        jnp.concatenate([mask[iy * G.nx + ix] for ix in range(G.nx)],
+                        axis=1) for iy in range(G.ny)], axis=0)
+    ref = xtalk_correct(data, mask, coeffs, G.nx)
+    ref_mos = jnp.concatenate([
+        jnp.concatenate([ref[iy * G.nx + ix] for ix in range(G.nx)],
+                        axis=1) for iy in range(G.ny)], axis=0)
+    out = jax.jit(lambda d, m: xtalk_correct_mosaic(
+        d, m, coeffs, G.ny, G.nx))(mos, mmk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_mos),
+                               rtol=0, atol=2e-3)
+    # and the maskless variant
+    out0 = xtalk_correct_mosaic(mos, None, coeffs, G.ny, G.nx)
+    ref0 = xtalk_correct(data, None, coeffs, G.nx)
+    ref0_mos = np.concatenate([
+        np.concatenate([np.asarray(ref0)[iy * G.nx + ix]
+                        for ix in range(G.nx)], axis=1)
+        for iy in range(G.ny)], axis=0)
+    np.testing.assert_allclose(np.asarray(out0), ref0_mos,
+                               rtol=0, atol=2e-3)
+
+
 def test_xtalk_under_jit_with_mask(rng):
     """Regression: coefficients must be traceable (the driver jit-closes
     over them; np.asarray on a traced array raised)."""
