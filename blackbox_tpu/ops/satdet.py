@@ -403,14 +403,26 @@ def detect_trails(image, mask_excl=None,
         n_trails = jnp.sum(top_v > 0)
 
     def line_mask(k):
-        active = top_v[k] > 0
-        # binned corner-origin line coordinate, wrap-aware mod-N distance
-        t = (xx / f) * jnp.cos(th[k]) + (yy / f) * jnp.sin(th[k])
+        # binned corner-origin line coordinate, wrap-aware mod-N
+        # distance; outer-sum form (two 1-D vectors broadcast-added)
+        # keeps the per-pixel work to add+mod+abs+cmp
+        ax = (xx[0] / f) * jnp.cos(th[k])                  # (W,)
+        ay = (yy[:, 0] / f) * jnp.sin(th[k])               # (H,)
+        t = ay[:, None] + ax[None, :]
         d = jnp.abs(jnp.mod(t - m0_ref[k] + N / 2.0, float(N))
                     - N / 2.0)
         hw_k = hw + 0.5 * ext[k] * f
-        return active & (d * f <= hw_k)
+        return d * f <= hw_k
 
-    masks = jax.vmap(line_mask)(jnp.arange(p.max_trails))
-    trail_mask = jnp.any(masks, axis=0)
+    # rasterise only ACTIVE slots: frames carry 0-2 trails against the
+    # static max_trails capacity, and a vmap over all slots pays
+    # max_trails full-frame distance fields plus an (S, H, W) bool
+    # round trip through HBM for the any-reduce.  The cond chain is
+    # bit-identical (an inactive slot contributes all-False) and skips
+    # the full-frame work for empty slots entirely.
+    trail_mask = jnp.zeros((H, W), bool)
+    for k in range(p.max_trails):
+        trail_mask = lax.cond(top_v[k] > 0,
+                              lambda acc, k=k: acc | line_mask(k),
+                              lambda acc: acc, trail_mask)
     return trail_mask, n_trails, top_v
