@@ -95,6 +95,42 @@ def psf_to_otf(psf_stamp, shape, full: bool = False):
     return hermitian_full(half, W) if full else half
 
 
+def otf_to_psf_stamp(otf, shape, S: int):
+    """Centred (S, S) PSF stamp from a full-frame OTF — the inverse of
+    :func:`psf_to_otf` as two small separable DFT matmuls.
+
+    Bit-equivalent (to f32 rounding) to ``irfft2(otf)`` followed by
+    rolling the (0, 0) centre to (S//2, S//2) and cropping — but the
+    full-frame inverse costs ~50 ms at 10.5k² while the S-row DFT
+    contraction is MXU work over the spectrum it already has to read:
+    psf[i, j] = (1/HW)·Σ_uv OTF[u, v]·e^(2πi·u(i-c)/H)·e^(2πi·v(j-c)/W).
+    Accepts either the rfft half plane (real-signal hermitian columns
+    fold in with weight 2) or the full W-column spectrum.
+    """
+    H, W = shape
+    c = S // 2
+    y = (jnp.arange(S, dtype=jnp.float32) - c)[:, None]     # (S, 1)
+    u = jnp.arange(H, dtype=jnp.float32)[None, :]           # (1, H)
+    Ey = jnp.exp(2j * jnp.pi / H * (y * u))                 # (S, H)
+    ncol = otf.shape[-1]
+    v = jnp.arange(ncol, dtype=jnp.float32)[:, None]        # (ncol, 1)
+    x = (jnp.arange(S, dtype=jnp.float32) - c)[None, :]     # (1, S)
+    Ex = jnp.exp(2j * jnp.pi / W * (v * x))                 # (ncol, S)
+    if ncol != W:
+        # rfft half plane: interior columns stand for themselves and
+        # their conjugate mirror; Re(conj pair) doubles, so fold a
+        # column weight into Ex and keep the real part
+        colw = jnp.full((ncol, 1), 2.0, jnp.float32)
+        colw = colw.at[0].set(1.0)
+        if W % 2 == 0:
+            colw = colw.at[-1].set(1.0)
+        Ex = colw * Ex
+    mid = jnp.matmul(Ey, otf.astype(jnp.complex64),
+                     precision="highest")                   # (S, ncol)
+    out = jnp.matmul(mid, Ex, precision="highest")          # (S, S)
+    return jnp.real(out) / (H * W)
+
+
 def hermitian_full(half, W: int):
     """Expand an rfft half plane (H, W//2+1) to the full W-column
     spectrum of a real signal: A(u, c) = conj(A(-u, W-c)), bit-exact."""
@@ -176,8 +212,10 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
         the source term reuses N̂/R̂ in one merged inverse transform,
         rectified after convolution (less biased than the reference's
         per-pixel clip before it).  Ignored when var_new/var_ref given.
-    want_psf_d : skip the full-frame inverse FFT behind the ``psf_D``
-        stamp when the caller does not ship thumbnails
+    want_psf_d : include the ``psf_D`` stamp (thumbnail/vetting use).
+        Cheap either way — the stamp is a small DFT contraction of the
+        already-built P̂_D spectrum (:func:`otf_to_psf_stamp`), not a
+        full-frame inverse FFT
 
     Returns dict with D (difference, new-image flux units), S, Scorr,
     Fpsf/Fpsferr (PSF flux + error of a transient at each pixel), and the
@@ -359,11 +397,10 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
            "Fpsf": _crop(Fpsf), "Fpsferr": _crop(Fpsferr),
            "F_D": F_D, "F_S": F_S}
     if want_psf_d:
-        # difference PSF stamp for thumbnail/vetting use
-        Spsf = psf_new.shape[-1]
-        psf_D_full = _inv_one(P_D_hat)
-        out["psf_D"] = jnp.roll(psf_D_full, (Spsf // 2, Spsf // 2),
-                                axis=(0, 1))[:Spsf, :Spsf]
+        # difference PSF stamp for thumbnail/vetting use: small DFT
+        # contraction instead of a ~50 ms full-frame inverse FFT
+        out["psf_D"] = otf_to_psf_stamp(P_D_hat, shape,
+                                        psf_new.shape[-1])
     return out
 
 

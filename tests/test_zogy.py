@@ -217,6 +217,26 @@ def test_fast_fft_size():
         assert odd in (1, 3, 5, 7, 11, 21), (n, m, odd)
 
 
+def test_otf_to_psf_stamp_matches_inverse_fft(rng):
+    """The stamp-DFT extraction equals irfft2 + roll + crop, for both
+    the rfft half plane and the packed full-column spectrum."""
+    from blackbox_tpu.ops.zogy import (hermitian_full, otf_to_psf_stamp,
+                                       psf_to_otf)
+    H, W, S = 96, 130, 25
+    psf = jnp.asarray(_gauss_psf(S, 3.1))
+    half = psf_to_otf(psf, (H, W))
+    # oracle: full-frame inverse, centre rolled to (S//2, S//2)
+    full_img = np.fft.irfft2(np.asarray(half), (H, W))
+    want = np.roll(full_img, (S // 2, S // 2), axis=(0, 1))[:S, :S]
+    got_half = np.asarray(otf_to_psf_stamp(half, (H, W), S))
+    np.testing.assert_allclose(got_half, want, atol=2e-6)
+    got_full = np.asarray(
+        otf_to_psf_stamp(hermitian_full(half, W), (H, W), S))
+    np.testing.assert_allclose(got_full, want, atol=2e-6)
+    # round trip recovers the PSF itself (stamp support < frame)
+    np.testing.assert_allclose(got_half, np.asarray(psf), atol=2e-6)
+
+
 def test_zogy_pack_fft_matches_unpacked(rng):
     """pack_fft=True (pairs of real transforms on one complex FFT) is
     the same statistic: exact algebra up to f32 packing round-off."""
