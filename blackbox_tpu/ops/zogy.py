@@ -59,6 +59,10 @@ class ZogyParams:
     # (130.6 vs 108.9 ms) -> pair 290.6 -> 271.2 ms; interior
     # max|dScorr| vs unpacked = 2.7e-3 at sigma=1 (threshold is 6
     # sigma, so detection flips are negligible).
+    # The spectral ALGEBRA stays on rfft half planes either way —
+    # carrying the redundant mirror columns through the elementwise
+    # chain doubled its HBM traffic (~100 ms/frame at 10.5k²); the
+    # mirror rebuilds in one fused pass per packed inverse.
     pack_fft: bool = True
 
 
@@ -246,35 +250,52 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
         var_ref = None if var_ref is None else _pad(var_ref)
 
     pack = p.pack_fft
+    Wr = Wp // 2 + 1
+
+    # ALL spectral algebra runs on rfft HALF planes regardless of
+    # packing — full-column planes double the HBM traffic of every
+    # elementwise op in the chain, which measured ~100 ms/frame at
+    # 10.5k² (the packing win is in the transforms, not the algebra).
+    # Packed transforms unpack to half right after the forward and
+    # re-mirror hermitianly right before the inverse.
 
     def _fwd_pair(a, b):
-        """Forward spectra of two real frames: one complex fft2 when
-        packing (unpacked by hermitian symmetry), two rfft2 otherwise."""
+        """Forward HALF-plane spectra of two real frames: one complex
+        fft2 when packing (unpacked by hermitian symmetry, sliced to
+        the half plane), two rfft2 otherwise."""
         if not pack:
             return jnp.fft.rfft2(a), jnp.fft.rfft2(b)
         Z = jnp.fft.fft2(a + 1j * b)
-        # Z(-k): reverse both axes with wraparound of the zero freq
-        Zc = jnp.conj(jnp.roll(jnp.flip(Z, (0, 1)), (1, 1), (0, 1)))
-        return 0.5 * (Z + Zc), -0.5j * (Z - Zc)
+        Zh = Z[:, :Wr]
+        # Z(-k) on the half plane only: columns (W - v) mod W for
+        # v in [0, Wr) are [0, W-1, ..., W-Wr+1]; rows (H - u) mod H
+        cols = jnp.concatenate([Z[:, :1],
+                                jnp.flip(Z[:, Wp - Wr + 1:], 1)], 1)
+        Zc = jnp.conj(jnp.roll(jnp.flip(cols, 0), 1, 0))
+        return 0.5 * (Zh + Zc), -0.5j * (Zh - Zc)
 
     def _inv_pair(A, B):
-        """Two real inverse transforms as one complex ifft2 when
-        packing (A, B hermitian — real outputs ride re/im)."""
+        """Two real inverse transforms from HALF-plane spectra: one
+        complex ifft2 when packing (the full plane of A + iB rebuilds
+        from hermitian symmetry in one fused tail pass), two irfft2
+        otherwise."""
         if not pack:
             return (jnp.fft.irfft2(A, shape), jnp.fft.irfft2(B, shape))
-        Y = jnp.fft.ifft2(A + 1j * B)
+        head = A + 1j * B
+        # tail of A+iB at mirrored frequencies: conj(A) + i·conj(B)
+        # evaluated at (-u, W-v) = conj((A - iB)[-u, W-v])
+        t = jnp.conj((A - 1j * B)[:, Wp - Wr:0:-1])
+        t = jnp.roll(t[::-1, :], 1, 0)
+        Y = jnp.fft.ifft2(jnp.concatenate([head, t], axis=1))
         return jnp.real(Y), jnp.imag(Y)
 
     def _inv_one(A):
-        """Single real inverse: slice the packed full plane down to the
-        rfft half plane (hermitian spectra carry no extra information)."""
-        if pack:
-            A = A[:, :Wp // 2 + 1]
+        """Single real inverse of a HALF-plane spectrum."""
         return jnp.fft.irfft2(A, shape)
 
     N_hat, R_hat = _fwd_pair(new, ref)
-    Pn = psf_to_otf(psf_new, shape, full=pack)
-    Pr = psf_to_otf(psf_ref, shape, full=pack)
+    Pn = psf_to_otf(psf_new, shape)
+    Pr = psf_to_otf(psf_ref, shape)
 
     fn = jnp.float32(fn)
     fr = jnp.maximum(jnp.float32(fr), p.fratio_floor)
@@ -297,27 +318,21 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     kn_hat = fn * fr ** 2 * jnp.conj(Pn) * Pr2 / den
     kr_hat = fr * fn ** 2 * jnp.conj(Pr) * Pn2 / den
 
-    if pack:
-        def _spec_mean(x):
-            return jnp.sum(x) / (Hp * Wp)
-    else:
-        # rfft half-plane column weights for full-spectrum sums: the
-        # interior columns appear once but stand for two
-        Wr = Pn2.shape[-1]
-        colw = jnp.full((Wr,), 2.0, jnp.float32)
-        colw = colw.at[0].set(1.0)
-        if Wp % 2 == 0:
-            colw = colw.at[-1].set(1.0)
+    # rfft half-plane column weights for full-spectrum sums: the
+    # interior columns appear once but stand for two
+    colw = jnp.full((Wr,), 2.0, jnp.float32)
+    colw = colw.at[0].set(1.0)
+    if Wp % 2 == 0:
+        colw = colw.at[-1].set(1.0)
 
-        def _spec_mean(x):
-            return jnp.sum(colw * x) / (Hp * Wp)
+    def _spec_mean(x):
+        return jnp.sum(colw * x) / (Hp * Wp)
 
     def _k2_hats():
         K = params.kernel_stamp
         if K and K < min(H, W):
             return _kernel_sq_otfs(
-                psf_new, psf_ref, fn, fr, sn, sr, p.eps, K, shape,
-                full=pack)
+                psf_new, psf_ref, fn, fr, sn, sr, p.eps, K, shape)
         kn, kr = _inv_pair(kn_hat, kr_hat)
         return _fwd_pair(kn ** 2, kr ** 2)
 
