@@ -237,6 +237,33 @@ def test_otf_to_psf_stamp_matches_inverse_fft(rng):
     np.testing.assert_allclose(got_half, np.asarray(psf), atol=2e-6)
 
 
+def test_zogy_pack_fft_odd_rect_sizes(rng):
+    """The packed half-plane unpack/mirror slicing is exact for odd and
+    rectangular frame sizes too (Nyquist-column bookkeeping differs)."""
+    for H, W in ((97, 130), (96, 131), (101, 103)):
+        new = rng.normal(0, 5, (H, W)).astype(np.float32)
+        ref = rng.normal(0, 4, (H, W)).astype(np.float32)
+        pn = jnp.asarray(_gauss_psf(25, 3.0))
+        pr = jnp.asarray(_gauss_psf(25, 2.5))
+        kw = dict(var_bkg_new=jnp.full((H, W), 25.0, jnp.float32),
+                  var_bkg_ref=jnp.full((H, W), 16.0, jnp.float32))
+        # pad_fast=False keeps the odd sizes in the transforms
+        a = zogy_subtract(jnp.asarray(new), jnp.asarray(ref), pn, pr,
+                          5.0, 4.0, params=ZogyParams(pack_fft=False,
+                                                      pad_fast=False),
+                          **kw)
+        b = zogy_subtract(jnp.asarray(new), jnp.asarray(ref), pn, pr,
+                          5.0, 4.0, params=ZogyParams(pack_fft=True,
+                                                      pad_fast=False),
+                          **kw)
+        for key in ("D", "S", "Scorr"):
+            x, y = np.asarray(a[key]), np.asarray(b[key])
+            scale = max(np.abs(x).max(), 1e-6)
+            np.testing.assert_allclose(
+                y, x, atol=3e-4 * scale, rtol=3e-4,
+                err_msg=f"{key} at {(H, W)}")
+
+
 def test_zogy_pack_fft_matches_unpacked(rng):
     """pack_fft=True (pairs of real transforms on one complex FFT) is
     the same statistic: exact algebra up to f32 packing round-off."""
