@@ -440,12 +440,24 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
     unknown = set(modes) - {"lanczos", "nearest"}
     if unknown:
         raise ValueError(f"unknown resample mode(s) {unknown}")
+
+    def _widen(x):
+        # Narrow-integer planes (the uint8 mask) ride the shifted
+        # where-chains as float32: the u8 select chain is a measured
+        # compile pathology on v5e (the SAME triple lands 199 ms with
+        # the mask in u8, 71 ms widened — PERF_NOTES.md), and u8
+        # values round-trip f32 exactly, so this is bit-identical.
+        if (jnp.issubdtype(x.dtype, jnp.integer)
+                and x.dtype.itemsize <= 2):
+            return x.astype(jnp.float32)
+        return x
+
     results = {}
     for mode in ("lanczos", "nearest"):
         group = [i for i, m in enumerate(modes) if m == mode]
         if not group:
             continue
-        v = pass_axis([srcs[i] for i in group], dys, ry, 0, mode)
+        v = pass_axis([_widen(srcs[i]) for i in group], dys, ry, 0, mode)
         o = pass_axis(v, dxs, rx, 1, mode)
         if mode == "lanczos":
             inb = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
@@ -453,8 +465,9 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
             inb = (ys >= -0.5) & (ys <= H - 0.5) & (xs >= -0.5) & \
                 (xs <= W - 0.5)
         for i, oi in zip(group, o):
-            results[i] = jnp.where(inb, oi,
-                                   jnp.asarray(fills[i], srcs[i].dtype))
+            oi = jnp.where(inb, oi.astype(srcs[i].dtype),
+                           jnp.asarray(fills[i], srcs[i].dtype))
+            results[i] = oi
     return tuple(results[i] for i in range(len(srcs)))
 
 
