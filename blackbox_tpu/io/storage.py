@@ -60,7 +60,9 @@ class PosixBackend:
             os.makedirs(path, exist_ok=True)
 
     def list_files(self, pattern: str) -> list:
-        return sorted(p for p in _glob.glob(pattern) if os.path.isfile(p))
+        # '**' patterns recurse (CLI --recursive; gcsfs globs ** natively)
+        return sorted(p for p in _glob.glob(pattern, recursive=True)
+                      if os.path.isfile(p))
 
     def list_folders(self, pattern: str) -> list:
         return sorted(p for p in _glob.glob(pattern) if os.path.isdir(p))

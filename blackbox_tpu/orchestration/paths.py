@@ -52,6 +52,9 @@ class DataTree:
         sub = () if imgtype == "object" else (imgtype,)
         return self._t("red", y, m, d, *sub)
 
+    def log_dir(self) -> str:
+        return self._t("log")
+
     def master_dir(self) -> str:
         return self._t("masters")
 

@@ -61,16 +61,22 @@ class RunReport:
 
 
 def run_day(pipeline, date: str, image_filter: Optional[Callable] = None,
-            force: bool = False) -> RunReport:
+            force: bool = False, read_path: Optional[str] = None,
+            recursive: bool = False) -> RunReport:
     """Batch-reduce one night's raw directory (reference day mode).
+
+    read_path/recursive: read raw frames from this directory instead of
+    the tree's raw/yyyy/mm/dd, optionally recursing into subfolders
+    (reference --read_path/--recursive, blackbox.py:285-330, 8150-8157).
 
     With ``settings.device_batch > 1`` the science frames' device work
     (calibration + extraction) runs as sharded multi-frame batches over
     the available devices — N chips reduce N frames per step — and each
     frame's host publication then consumes the precomputed outputs.
     """
-    raw_dir = pipeline.tree.raw_dir(date)
-    paths = list_files(raw_dir + "/*.fits*")
+    raw_dir = read_path or pipeline.tree.raw_dir(date)
+    glob_mid = "/**/" if recursive else "/"
+    paths = list_files(raw_dir + glob_mid + "*.fits*")
     if image_filter:
         paths = [p for p in paths if image_filter(p)]
     report = RunReport()
@@ -232,16 +238,17 @@ def _run_batched_objects(pipeline, paths, db: int, report: RunReport,
 def run_night(pipeline, date: str, *,
               until: Optional[Callable[[], bool]] = None,
               sunrise_margin_h: float = 1.0,
-              poll_s: float = 2.0, max_runtime_s: Optional[float] = None
-              ) -> RunReport:
+              poll_s: float = 2.0, max_runtime_s: Optional[float] = None,
+              read_path: Optional[str] = None) -> RunReport:
     """Streaming night mode: watch the raw dir, reduce on arrival.
 
     Runs until ``until()`` is true (default: the sun is up by
     ``sunrise_margin_h`` hours at the pipeline's site) AND the queue has
     drained — the reference keeps reducing frames that arrived before
-    sunrise+1h (blackbox.py:444-453).
+    sunrise+1h (blackbox.py:444-453).  ``read_path`` watches an
+    alternative directory (reference --read_path).
     """
-    raw_dir = pipeline.tree.raw_dir(date)
+    raw_dir = read_path or pipeline.tree.raw_dir(date)
     q: "queue.Queue[str]" = queue.Queue()
     watcher = DirectoryWatcher(raw_dir + "/*.fits*", q, poll_s=poll_s,
                                preload_existing=True).start()

@@ -168,3 +168,65 @@ def test_add_night_headkeys(tmp_path, rng):
     rows = query(tree, "ML1", "flat", FILTER="q")
     assert len(rows) == 1
     assert abs(float(rows[0]["MEDSEC"]) - 30000.0) < 1e-3
+
+
+def test_cli_read_path_filters_and_genlog(tmp_path, capsys):
+    # --read_path + --recursive list a nested alternative input dir;
+    # --imgtypes drops non-matching frames before reduction;
+    # --name_genlog attaches a general log file (blackbox.py:220-248)
+    from blackbox_tpu.core.geometry import TINY
+    from blackbox_tpu.synth.observation import write_observation
+    from blackbox_tpu.__main__ import main
+    from blackbox_tpu.astro.time import iso2mjd
+
+    rng = np.random.default_rng(3)
+    tree_root = str(tmp_path)
+    stage = os.path.join(tree_root, "staging", "deep", "nested")
+    raw = os.path.join(stage, "ML1_20260305_231000.fits")
+    write_observation(raw, TINY, rng, "bias",
+                      mjd_start=iso2mjd("2026-03-05T23:10:00.000"))
+
+    genlog = os.path.join(tree_root, "general.log")
+    rc = main(["--data_root", tree_root, "--geometry", "tiny",
+               "--mode", "day", "--date", "20260305",
+               "--read_path", os.path.join(tree_root, "staging"),
+               "--recursive", "true", "--imgtypes", "flat",
+               "--name_genlog", genlog])
+    assert rc == 0
+    # the only frame is a bias; the flat-only selection drops it
+    assert "processed=0" in capsys.readouterr().out
+    # bare-directory name_genlog landed exactly where asked
+    assert os.path.exists(genlog)
+    assert "genlogfile created" in open(genlog).read()
+    # non-recursive listing of the same read_path finds nothing
+    rc = main(["--data_root", tree_root, "--geometry", "tiny",
+               "--mode", "day", "--date", "20260305",
+               "--read_path", os.path.join(tree_root, "staging")])
+    assert rc == 0
+    assert "processed=0" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_cli_read_path_processes_matching(tmp_path, capsys):
+    # the recursive read_path run reduces the bias it finds, and the
+    # date derives from a raw/yyyy/mm/dd-shaped read_path tail
+    from blackbox_tpu.core.geometry import TINY
+    from blackbox_tpu.synth.observation import write_observation
+    from blackbox_tpu.__main__ import main
+    from blackbox_tpu.astro.time import iso2mjd
+
+    rng = np.random.default_rng(4)
+    tree_root = str(tmp_path)
+    alt = os.path.join(tree_root, "incoming", "2026", "03", "05")
+    raw = os.path.join(alt, "ML1_20260305_231500.fits")
+    write_observation(raw, TINY, rng, "bias",
+                      mjd_start=iso2mjd("2026-03-05T23:15:00.000"))
+
+    rc = main(["--data_root", tree_root, "--geometry", "tiny",
+               "--mode", "day", "--read_path", alt,
+               "--imgtypes", "bias"])
+    assert rc == 0
+    assert "processed=1" in capsys.readouterr().out
+    red = os.path.join(tree_root, "ML1", "red", "2026", "03", "05",
+                       "bias", "ML1_20260305_231500_red.fits.fz")
+    assert os.path.exists(red)
