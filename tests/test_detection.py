@@ -126,6 +126,7 @@ def test_satdet_no_false_positive(rng):
     assert int(n) == 0
 
 
+@pytest.mark.slow
 def test_moments_exact_at_large_coordinates():
     """Regression: central moments must not lose precision at large
     absolute pixel coordinates (f32 x^2 ~ 1e8 cancellation corrupted
@@ -247,6 +248,7 @@ def test_satdet_thick_band_rejected(rng):
     assert int(n) >= 1
 
 
+@pytest.mark.slow
 def test_satdet_wide_trail_detected(rng):
     """Defocused/wide satellite trails (tens of px) must still be
     detected: a fixed fully-lit-line COUNT in the thick-structure veto
@@ -262,6 +264,7 @@ def test_satdet_wide_trail_detected(rng):
         assert np.asarray(m)[700 + width // 2, :].mean() > 0.8
 
 
+@pytest.mark.slow
 def test_satdet_custom_band_widths_no_crash(rng):
     """band_widths without width 1 must not crash on small frames
     where the drift filter rejects every entry (review finding)."""

@@ -1,3 +1,4 @@
+import pytest
 """scipy.ndimage parity for the device binary-morphology ops.
 
 The reference uses binary_dilation / binary_closing / binary_fill_holes
@@ -83,6 +84,7 @@ def test_satcon_close_fill_matches_separate_calls(rng):
     assert np.array_equal(np.asarray(filled), np.asarray(ref_filled))
 
 
+@pytest.mark.slow
 def test_euler_count_matches_int_formulation(rng):
     import jax.numpy as _jnp
     from blackbox_tpu.ops.labeling import euler_count

@@ -17,6 +17,7 @@ def _scene(rng, H=264, W=264, sky=300.0, ncr=40):
     return img, cx, cy
 
 
+@pytest.mark.slow
 def test_pallas_matches_jnp_interpret(rng):
     """The fused kernel (interpreter mode) reproduces the jnp path."""
     img, cx, cy = _scene(rng)

@@ -240,6 +240,7 @@ def test_fused_science_step_end_to_end():
                                np.asarray(sci_new), rtol=2e-4, atol=0.05)
 
 
+@pytest.mark.slow
 def test_transient_peak_exact_at_large_flat_index():
     """Regression: peak flat indices beyond 2^24 must stay exact (f32
     index math shifted peaks by up to 4 px on full frames)."""

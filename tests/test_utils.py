@@ -117,6 +117,7 @@ def test_compile_cache_knob():
         jax.config.update("jax_compilation_cache_dir", before)
 
 
+@pytest.mark.slow
 def test_compile_cache_canary(tmp_path, monkeypatch):
     """The known-answer canary passes on a healthy cache, and a
     mismatching answer wipes the directory instead of serving stale

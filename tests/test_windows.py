@@ -1,3 +1,4 @@
+import pytest
 """Chunked slot mapping (ops.windows): parity with the dense vmap path.
 
 The chunked map must be bit-identical to plain vmap for every slot
@@ -49,6 +50,7 @@ def test_chunked_map_all_active_and_none(rng):
         np.asarray(jax.vmap(one)(xs)))
 
 
+@pytest.mark.slow
 def test_extract_catalog_chunked_matches_dense(rng):
     """End-to-end: catalog stages give identical results whether the
     capacity is chunk-skipped or densely mapped."""

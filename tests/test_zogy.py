@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -237,10 +238,14 @@ def test_otf_to_psf_stamp_matches_inverse_fft(rng):
     np.testing.assert_allclose(got_half, np.asarray(psf), atol=2e-6)
 
 
-def test_zogy_pack_fft_odd_rect_sizes(rng):
+@pytest.mark.parametrize("sizes", [
+    ((96, 131),),                              # odd W: no Nyquist column
+    pytest.param(((97, 130), (101, 103)), marks=pytest.mark.slow),
+])
+def test_zogy_pack_fft_odd_rect_sizes(rng, sizes):
     """The packed half-plane unpack/mirror slicing is exact for odd and
     rectangular frame sizes too (Nyquist-column bookkeeping differs)."""
-    for H, W in ((97, 130), (96, 131), (101, 103)):
+    for H, W in sizes:
         new = rng.normal(0, 5, (H, W)).astype(np.float32)
         ref = rng.normal(0, 4, (H, W)).astype(np.float32)
         pn = jnp.asarray(_gauss_psf(25, 3.0))
