@@ -18,6 +18,7 @@ be materialised.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from blackbox_tpu.core import maskbits
@@ -57,16 +58,19 @@ def build_mask(chan_data, bpm, satlevel_adu, gains, biasm, nx: int = 8,
     mask_sat = chan_data >= satlevel_e[:, None, None]
 
     # crosstalk victims: each source channel's saturation footprint is
-    # stamped into every other channel, y-flipped when the rows differ.
-    # union over same-row sources / cross-row sources, done per readout row.
+    # stamped into all other channels, y-flipped when the readout rows
+    # differ.  DENSE bool-stack union on purpose: a bit-packed variant
+    # (once/twice carry scan over uint32 words) measures 6.4 vs 9.3 ms
+    # for the words-only chain, but a MATERIALISED full-stack word
+    # array costs ~26 ns/element to relayout on v5e (pack 2.9 s,
+    # unpack 0.9 s — the (.., 42)-minor u32 layout); packing only pays
+    # when it stays fused inside one consumer chain, as in
+    # satcon_close_fill below.
     sat_f = mask_sat
     sat_flip = mask_sat[:, ::-1, :]
     bot, top = sat_f[:nx], sat_f[nx:]
-    bot_fl, top_fl = sat_flip[:nx], sat_flip[nx:]
-    any_bot = jnp.any(bot, axis=0)          # (ych, xch)
-    any_top = jnp.any(top, axis=0)
-    any_bot_fl = jnp.any(bot_fl, axis=0)
-    any_top_fl = jnp.any(top_fl, axis=0)
+    any_bot_fl = jnp.any(sat_flip[:nx], axis=0)
+    any_top_fl = jnp.any(sat_flip[nx:], axis=0)
     # victims in bottom row: same-row sources (excluding self) OR flipped
     # top-row sources; "excluding self" = union minus own footprint where
     # only self saturates -> reference stamps only OTHER channels, so
@@ -81,7 +85,6 @@ def build_mask(chan_data, bpm, satlevel_adu, gains, biasm, nx: int = 8,
     # saturated-connected ring + close/fill of the blob, fused into one
     # packed morphology round trip (bit-identical to the separate
     # dilation/closing/fill calls; ops.morphology.satcon_close_fill)
-    import jax
     satcon_add, filled = jax.vmap(
         lambda m: satcon_close_fill(m, fill_iters))(mask_sat)
     mask = jnp.where(satcon_add, mask | maskbits.SAT_CONNECTED, mask)

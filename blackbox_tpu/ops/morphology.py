@@ -228,8 +228,16 @@ def satcon_close_fill(mask_sat, fill_iters: int = 1):
     5280x1320 on one v5e).
     """
     H, W = mask_sat.shape[-2], mask_sat.shape[-1]
-    valid = _valid_words(W)
-    w = _pack_bits(mask_sat)
+    return satcon_close_fill_packed(_pack_bits(mask_sat),
+                                    _valid_words(W), H, W, fill_iters)
+
+
+def satcon_close_fill_packed(w, valid, H: int, W: int,
+                             fill_iters: int = 1):
+    """:func:`satcon_close_fill` on an already-packed word array ``w``
+    (slack bits 0) — callers that pack the mask for other bit-domain
+    work (the crosstalk-victim union in ``ops.masking``) skip the
+    second pack.  Returns unpacked ``(satcon_add, filled)``."""
     dil = _dilate3_packed(w, valid)
     satcon = dil & ~w
     closed = _erode3_packed(_dilate3_packed(dil, valid), valid) & valid

@@ -85,6 +85,11 @@ def test_build_mask_saturation(rng):
 
     # one saturated blob in channel 3
     data[3, 10:13, 5:8] = 2000.0
+    # channels 5 AND 6 saturate the SAME pixel: both must still be
+    # flagged as each other's victims (the "any OTHER channel" union
+    # needs the seen-twice carry, not just the overall OR)
+    data[5, 20, 30] = 2000.0
+    data[6, 20, 30] = 2000.0
     # non-finite pixel in channel 0
     data[0, 2, 2] = np.nan
 
@@ -106,6 +111,9 @@ def test_build_mask_saturation(rng):
     assert (mask[11, ych - 13:ych - 10, 5:8] & maskbits.CROSSTALK).all()
     # source channel not self-flagged as victim
     assert not (mask[3, 10:13, 5:8] & maskbits.CROSSTALK).any()
+    # two same-row sources saturating the same pixel victimise each other
+    assert mask[5, 20, 30] & maskbits.CROSSTALK
+    assert mask[6, 20, 30] & maskbits.CROSSTALK
     assert float(stats["saturate"]) == 1000.0
 
 
