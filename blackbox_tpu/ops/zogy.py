@@ -64,6 +64,16 @@ class ZogyParams:
     # chain doubled its HBM traffic (~100 ms/frame at 10.5k²); the
     # mirror rebuilds in one fused pass per packed inverse.
     pack_fft: bool = True
+    # FFT implementation: "xla" = jnp.fft custom calls (complex64);
+    # "split" = the Pallas split-real mixed-radix kernel
+    # (:mod:`blackbox_tpu.pallas.fft`) with ALL spectral algebra on
+    # split f32 planes in the kernel's scrambled layout.  complex64
+    # elementwise throughput measures ~5x below split-f32 on v5e
+    # (PERF_NOTES.md), so the split path wins when the kernel's
+    # transform cost is competitive.  Requires frame sides that pad to
+    # a multiple of 128 (production 10560 -> 10752 qualifies); falls
+    # back to "xla" otherwise.
+    fft: str = "xla"
 
 
 def psf_to_otf(psf_stamp, shape, full: bool = False):
@@ -161,16 +171,15 @@ def fast_fft_size(n: int) -> int:
     return best
 
 
-def _kernel_sq_otfs(psf_new, psf_ref, fn, fr, sn, sr, eps, K, shape,
-                    full: bool = False):
-    """Full-frame spectra of k_n², k_r² from K×K aliased kernel stamps.
+def _kernel_sq_stamps(psf_new, psf_ref, fn, fr, sn, sr, eps, K):
+    """K×K aliased stamps of k_n², k_r².
 
     k_n/k_r sample a continuous frequency response (ratios of the PSF
     stamps' DTFTs), so evaluating the same formulas on a K×K grid and
     inverse-transforming yields the true kernels folded with period K —
     identical to the full-frame kernels wherever they decay inside
-    K/2 px.  The squares are then K×K stamps whose full-frame spectra
-    come from the same separable-DFT expansion used for the PSF OTFs.
+    K/2 px.  The squares are then K×K stamps the caller expands to
+    full-frame spectra with its layout's separable-DFT builder.
     """
     Pn = psf_to_otf(psf_new, (K, K))
     Pr = psf_to_otf(psf_ref, (K, K))
@@ -181,10 +190,97 @@ def _kernel_sq_otfs(psf_new, psf_ref, fn, fr, sn, sr, eps, K, shape,
     kr = jnp.fft.irfft2(fr * fn ** 2 * jnp.conj(Pr) * Pn2 / den, (K, K))
     # irfft2 leaves the kernel centre at index (0, 0); fftshift moves it
     # to (K//2, K//2), the centre convention psf_to_otf expects
-    kn2 = jnp.fft.fftshift(kn) ** 2
-    kr2 = jnp.fft.fftshift(kr) ** 2
+    return jnp.fft.fftshift(kn) ** 2, jnp.fft.fftshift(kr) ** 2
+
+
+def _kernel_sq_otfs(psf_new, psf_ref, fn, fr, sn, sr, eps, K, shape,
+                    full: bool = False):
+    """Full-frame spectra of k_n², k_r² from the K×K aliased stamps."""
+    kn2, kr2 = _kernel_sq_stamps(psf_new, psf_ref, fn, fr, sn, sr,
+                                 eps, K)
     return (psf_to_otf(kn2, shape, full=full),
             psf_to_otf(kr2, shape, full=full))
+
+
+def _signed_freqs(N: int):
+    """Scrambled-layout frequency of each physical row, in the SIGNED
+    (fftfreq-style) convention: f - N for f > N/2."""
+    from blackbox_tpu.pallas.fft import spectrum_freqs
+    import numpy as _np
+    f = spectrum_freqs(N).astype(_np.int64)
+    return jnp.asarray(_np.where(f > N // 2, f - N, f), jnp.float32)
+
+
+def _otf_scr(psf_stamp, shape):
+    """Split (re, im) OTF planes of a centred real stamp in the
+    TRANSPOSED SCRAMBLED layout of :func:`pallas.fft.fft2_split`:
+    plane[p, q] = OTF[fu[q], fv[p]] with fu/fv = ``spectrum_freqs``.
+
+    Same separable-DFT construction as :func:`psf_to_otf` (the stamp's
+    support is ~25 px, so the DFT is two small matmuls), but the
+    frequency vectors are permuted into kernel order host-side, so the
+    plane is BORN in the split path's layout — no unscramble pass ever
+    runs.  Four real f32 matmuls instead of complex64 ones: the MXU
+    eats them at full rate and the output lands already split.
+    """
+    from blackbox_tpu.pallas.fft import spectrum_freqs
+    Hp, Wp = shape
+    S = psf_stamp.shape[-1]
+    c = S // 2
+    # SIGNED frequencies: negating a float is exact, so cos/sin of the
+    # mirrored frequency are EXACTLY the conjugate pair and the plane
+    # is hermitian to f32 equality (not just rounding) — without this,
+    # the anti-hermitian rounding residue is amplified by the 1/√den
+    # deconvolution wherever the OTF decays to the f32 noise floor and
+    # leaks into the imaginary (discarded) half of the packed inverses.
+    fu = _signed_freqs(Hp)                                 # (Hp,)
+    fv = _signed_freqs(Wp)                                 # (Wp,)
+    y = jnp.arange(S, dtype=jnp.float32) - c
+    ay = (-2 * jnp.pi / Hp) * fu[:, None] * y[None, :]     # (Hp, S)
+    ax = (-2 * jnp.pi / Wp) * fv[:, None] * y[None, :]     # (Wp, S)
+    eyr, eyi = jnp.cos(ay), jnp.sin(ay)
+    exr, exi = jnp.cos(ax), jnp.sin(ax)
+    pT = psf_stamp.astype(jnp.float32).T                   # [x, y]
+    mr = jnp.matmul(exr, pT, precision="highest")          # (Wp, S)
+    mi = jnp.matmul(exi, pT, precision="highest")
+    re = (jnp.matmul(mr, eyr.T, precision="highest")
+          - jnp.matmul(mi, eyi.T, precision="highest"))    # (Wp, Hp)
+    im = (jnp.matmul(mr, eyi.T, precision="highest")
+          + jnp.matmul(mi, eyr.T, precision="highest"))
+    return re, im
+
+
+def _otf_scr_to_stamp(ar, ai, shape, S: int):
+    """Centred (S, S) real stamp from split scrambled-layout spectrum
+    planes — the split twin of :func:`otf_to_psf_stamp`."""
+    Hp, Wp = shape
+    c = S // 2
+    fu = _signed_freqs(Hp)
+    fv = _signed_freqs(Wp)
+    t = jnp.arange(S, dtype=jnp.float32) - c
+    ay = (2 * jnp.pi / Hp) * fu[:, None] * t[None, :]      # (Hp, S)
+    ax = (2 * jnp.pi / Wp) * fv[:, None] * t[None, :]      # (Wp, S)
+    eyr, eyi = jnp.cos(ay), jnp.sin(ay)
+    exr, exi = jnp.cos(ax), jnp.sin(ax)
+    # C = Ex^T A over the Wp axis (complex), then D = C Ey over Hp;
+    # stamp = Re(D)^T / (Hp Wp)
+    cr = (jnp.matmul(exr.T, ar, precision="highest")
+          - jnp.matmul(exi.T, ai, precision="highest"))    # (S, Hp)
+    ci = (jnp.matmul(exr.T, ai, precision="highest")
+          + jnp.matmul(exi.T, ar, precision="highest"))
+    dr = (jnp.matmul(cr, eyr, precision="highest")
+          - jnp.matmul(ci, eyi, precision="highest"))      # (S, S)
+    return dr.T / (Hp * Wp)
+
+
+def split_fft_size(n: int) -> int:
+    """Smallest fast FFT size >= n that the split kernel accepts as a
+    LANE count too: a multiple of 128 (each axis takes a turn as the
+    lane dimension of :func:`pallas.fft.fft_cols_split`)."""
+    m = fast_fft_size(n)
+    while m % 128:
+        m = fast_fft_size(m + 1)
+    return m
 
 
 def _freq_grids(shape):
@@ -192,6 +288,165 @@ def _freq_grids(shape):
     fy = jnp.fft.fftfreq(H).astype(jnp.float32)          # (H,)
     fx = jnp.fft.rfftfreq(W).astype(jnp.float32)         # (W//2+1,)
     return fy, fx
+
+
+def _zogy_split(new, ref, psf_new, psf_ref, sn, sr, fn, fr,
+                var_new, var_ref, var_bkg_new, var_bkg_ref,
+                p: ZogyParams, want_psf_d: bool):
+    """zogy_subtract on the Pallas split-real FFT (see ZogyParams.fft).
+
+    Identical mathematics to the xla path; the representation changes:
+    ALL spectral planes are split (re, im) f32 pairs in the kernel's
+    transposed scrambled layout (elementwise algebra is layout-blind,
+    and complex64 elementwise runs ~5x below split-f32 on v5e).  The
+    packed forward fft2_split(new, ref) carries both spectra; they
+    separate by ONE hermitian-mirror gather (mirror_perm both axes +
+    conj).  Each pair of real inverse transforms rides one
+    ifft2_split of Y = A + iB, whose natural-order real/imag parts
+    are the two images — so the production var_bkg chain keeps the
+    xla path's 3-transform count."""
+    from blackbox_tpu.pallas.fft import (fft2_split, ifft2_split,
+                                         mirror_perm)
+    H, W = new.shape
+    Hp, Wp = split_fft_size(H), split_fft_size(W)
+    shape = (Hp, Wp)
+    if (Hp, Wp) != (H, W):
+        def _pad(a):
+            return jnp.pad(a, ((0, Hp - H), (0, Wp - W)))
+        new, ref = _pad(new), _pad(ref)
+        var_new = None if var_new is None else _pad(var_new)
+        var_ref = None if var_ref is None else _pad(var_ref)
+
+    mpr = jnp.asarray(mirror_perm(Wp))
+    mpc = jnp.asarray(mirror_perm(Hp))
+
+    def _cm(ar, ai, br, bi):
+        return ar * br - ai * bi, ar * bi + ai * br
+
+    def _unpack(ar, ai):
+        """Split spectra of the two real frames packed in one forward
+        transform: A = (Z + M(Z))/2, B = -i(Z - M(Z))/2 with
+        M(Z) = conj(Z at negated frequencies) — a two-axis gather by
+        the precomputed mirror permutations."""
+        gr = jnp.take(jnp.take(ar, mpr, 0), mpc, 1)
+        gi = jnp.take(jnp.take(ai, mpr, 0), mpc, 1)
+        return ((0.5 * (ar + gr), 0.5 * (ai - gi)),
+                (0.5 * (ai + gi), 0.5 * (gr - ar)))
+
+    def _inv_pair(A, B):
+        """Two real inverses in one kernel transform: for hermitian
+        A, B the natural-order ifft of Y = A + iB has re = a, im = b."""
+        (Ar, Ai), (Br, Bi) = A, B
+        return ifft2_split(Ar - Bi, Ai + Br)
+
+    Zr, Zi = fft2_split(new, ref)                   # (Wp, Hp) split
+    (Nr, Ni), (Rr, Ri) = _unpack(Zr, Zi)
+
+    pn = _otf_scr(psf_new, shape)
+    pr_ = _otf_scr(psf_ref, shape)
+
+    fn = jnp.float32(fn)
+    fr = jnp.maximum(jnp.float32(fr), p.fratio_floor)
+    sn = jnp.maximum(jnp.float32(sn), 1e-6)
+    sr = jnp.maximum(jnp.float32(sr), 1e-6)
+
+    Pn2 = pn[0] ** 2 + pn[1] ** 2
+    Pr2 = pr_[0] ** 2 + pr_[1] ** 2
+    den = sn ** 2 * fr ** 2 * Pr2 + sr ** 2 * fn ** 2 * Pn2 + p.eps
+    sq = jnp.sqrt(den)
+
+    t1 = _cm(pr_[0], pr_[1], Nr, Ni)
+    t2 = _cm(pn[0], pn[1], Rr, Ri)
+    D_hat = ((fr * t1[0] - fn * t2[0]) / sq,
+             (fr * t1[1] - fn * t2[1]) / sq)
+    F_D = fn * fr / jnp.sqrt(sn ** 2 * fr ** 2 + sr ** 2 * fn ** 2)
+
+    # matched-filter kernels (conj(P) folds in as a sign flip on im)
+    cn = fn * fr ** 2 * Pr2 / den
+    cr_ = fr * fn ** 2 * Pn2 / den
+    kn_hat = (cn * pn[0], -cn * pn[1])
+    kr_hat = (cr_ * pr_[0], -cr_ * pr_[1])
+
+    npx = Hp * Wp
+
+    def _k2_scr():
+        K = p.kernel_stamp
+        if K and K < min(H, W):
+            kn2, kr2 = _kernel_sq_stamps(
+                psf_new, psf_ref, fn, fr, sn, sr, p.eps, K)
+        else:
+            # full-frame kernels: one packed inverse gives both, one
+            # packed forward re-transforms the squares — exact path,
+            # off in production
+            kn, kr = _inv_pair(kn_hat, kr_hat)
+            return _unpack(*fft2_split(kn ** 2, kr ** 2))
+        return _otf_scr(kn2, shape), _otf_scr(kr2, shape)
+
+    D = None
+    if var_new is not None or var_ref is not None:
+        kn2_hat, kr2_hat = _k2_scr()
+        vcap = 1e4 * (sn ** 2 + sr ** 2)
+        Vn = (sn ** 2 * jnp.ones(shape, jnp.float32) if var_new is None
+              else jnp.clip(var_new, 0.0, vcap))
+        Vr = (sr ** 2 * jnp.ones(shape, jnp.float32) if var_ref is None
+              else jnp.clip(var_ref, 0.0, vcap))
+        Vn_hat, Vr_hat = _unpack(*fft2_split(Vn, Vr))
+        a = _cm(kn2_hat[0], kn2_hat[1], *Vn_hat)
+        b = _cm(kr2_hat[0], kr2_hat[1], *Vr_hat)
+        D, V_src = _inv_pair(D_hat, (a[0] + b[0], a[1] + b[1]))
+    else:
+        sum_kn2 = jnp.sum(kn_hat[0] ** 2 + kn_hat[1] ** 2) / npx
+        sum_kr2 = jnp.sum(kr_hat[0] ** 2 + kr_hat[1] ** 2) / npx
+        vbn = sn ** 2 if var_bkg_new is None else var_bkg_new
+        vbr = sr ** 2 if var_bkg_ref is None else var_bkg_ref
+        if getattr(vbn, "ndim", 0) == 2 and vbn.shape != shape:
+            vbn = jnp.pad(vbn, ((0, Hp - H), (0, Wp - W)), mode="edge")
+        if getattr(vbr, "ndim", 0) == 2 and vbr.shape != shape:
+            vbr = jnp.pad(vbr, ((0, Hp - H), (0, Wp - W)), mode="edge")
+        V_src = vbn * sum_kn2 + vbr * sum_kr2
+        if var_bkg_new is not None or var_bkg_ref is not None:
+            kn2_hat, kr2_hat = _k2_scr()
+            a = _cm(kn2_hat[0], kn2_hat[1], Nr, Ni)
+            b = _cm(kr2_hat[0], kr2_hat[1], Rr, Ri)
+            D, src = _inv_pair(D_hat, (a[0] + b[0], a[1] + b[1]))
+            V_src = V_src + jnp.maximum(src, 0.0)
+    if D is None:
+        D = ifft2_split(*D_hat)[0]
+
+    Sn, Sr = _inv_pair(_cm(kn_hat[0], kn_hat[1], Nr, Ni),
+                       _cm(kr_hat[0], kr_hat[1], Rr, Ri))
+    S = Sn - Sr
+
+    def _grad(img):
+        gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
+        gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
+        return gy, gx
+
+    dSn_dy, dSn_dx = _grad(Sn)
+    dSr_dy, dSr_dx = _grad(Sr)
+    V_ast = (p.dx ** 2 * (dSn_dx ** 2 + dSr_dx ** 2)
+             + p.dy ** 2 * (dSn_dy ** 2 + dSr_dy ** 2))
+
+    V_S = V_src + V_ast
+    Scorr = S / jnp.sqrt(jnp.maximum(V_S, p.eps))
+
+    F_S = jnp.sum(fn ** 2 * fr ** 2 * Pn2 * Pr2 / den) / npx
+    F_S = jnp.maximum(F_S, p.eps)
+    Fpsf = S / F_S
+    Fpsferr = jnp.sqrt(jnp.maximum(V_S, p.eps)) / F_S
+
+    def _crop(a):
+        return a[:H, :W] if (Hp, Wp) != (H, W) else a
+
+    out = {"D": _crop(D), "S": _crop(S), "Scorr": _crop(Scorr),
+           "Fpsf": _crop(Fpsf), "Fpsferr": _crop(Fpsferr),
+           "F_D": F_D, "F_S": F_S}
+    if want_psf_d:
+        c = fn * fr / (F_D * sq)
+        pd = _cm(pn[0], pn[1], pr_[0], pr_[1])
+        out["psf_D"] = _otf_scr_to_stamp(c * pd[0], c * pd[1], shape,
+                                         psf_new.shape[-1])
+    return out
 
 
 def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
@@ -238,6 +493,10 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
     """
     p = params
     H, W = new.shape
+    if p.fft == "split":
+        return _zogy_split(new, ref, psf_new, psf_ref, sn, sr, fn, fr,
+                           var_new, var_ref, var_bkg_new, var_bkg_ref,
+                           p, want_psf_d)
     Hp = fast_fft_size(H) if p.pad_fast else H
     Wp = fast_fft_size(W) if p.pad_fast else W
     shape = (Hp, Wp)

@@ -277,11 +277,12 @@ def _fft_kernel(twa_re, twa_im, twb_re, twb_im,
     cp_i.wait()
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("inverse", "scale", "interpret"))
 def fft_cols_split(xr, xi, inverse: bool = False, scale: float = 1.0,
-                   interpret: bool = False):
+                   interpret: bool | None = None):
     """1-D FFT along axis 0 of a split-complex (N, L) pair.
+
+    ``interpret=None`` resolves to the Pallas interpreter off-TPU (the
+    CPU test mesh) and to the compiled kernel on TPU.
 
     Forward: natural rows in -> SCRAMBLED spectral rows out (physical
     row r·N1+bitrev(m) holds X[r+N2·m]; :func:`spectrum_freqs` gives
@@ -292,6 +293,14 @@ def fft_cols_split(xr, xi, inverse: bool = False, scale: float = 1.0,
     L must be a multiple of 128 (callers pad lanes; production frames
     are 10752-wide).  Returns (yr, yi) float32.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fft_cols_jit(xr, xi, inverse, float(scale), bool(interpret))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("inverse", "scale", "interpret"))
+def _fft_cols_jit(xr, xi, inverse: bool, scale: float, interpret: bool):
     N, L = xr.shape
     if xi.shape != (N, L):
         raise ValueError("re/im shape mismatch")
@@ -333,7 +342,7 @@ def fft_cols_split(xr, xi, inverse: bool = False, scale: float = 1.0,
     return yr, yi
 
 
-def fft2_split(xr, xi, interpret: bool = False):
+def fft2_split(xr, xi, interpret: bool | None = None):
     """2-D FFT of a split-complex (H, W) pair.
 
     Returns (Yr, Yi) in TRANSPOSED SCRAMBLED layout: shape (W, H);
@@ -347,7 +356,8 @@ def fft2_split(xr, xi, interpret: bool = False):
     return fft_cols_split(yr, yi, interpret=interpret)         # axis 1
 
 
-def ifft2_split(yr, yi, scale: bool = True, interpret: bool = False):
+def ifft2_split(yr, yi, scale: bool = True,
+                interpret: bool | None = None):
     """Inverse of :func:`fft2_split`: (W, H) transposed-scrambled in,
     natural (H, W) out; divides by H·W when ``scale``."""
     W, H = yr.shape

@@ -98,11 +98,15 @@ def _scene(rng, H, W):
     return new, ref
 
 
+@pytest.mark.parametrize("impl", ["xla", "split"])
 @pytest.mark.parametrize("vbkg", [False, True])
-def test_production_zogy_matches_f64_oracle(rng, vbkg):
+def test_production_zogy_matches_f64_oracle(rng, vbkg, impl):
     # 120x120: pad_fast pads to 128, so the fast-size path is exercised
     # and only the border band (inside the EDGE mask in production) is
-    # allowed to differ from the unpadded oracle
+    # allowed to differ from the unpadded oracle.  impl="split" runs
+    # the Pallas split-real FFT path (interpreter on the CPU mesh)
+    # against the SAME float64 oracle — the representation changes, the
+    # statistic must not.
     H = W = 120
     new, ref = _scene(rng, H, W)
     pn = _gauss_psf(25, 3.1)
@@ -117,7 +121,8 @@ def test_production_zogy_matches_f64_oracle(rng, vbkg):
 
     got = zogy_subtract(jnp.asarray(new), jnp.asarray(ref),
                         jnp.asarray(pn), jnp.asarray(pr), sn, sr,
-                        fn=1.0, fr=1.15, params=ZogyParams(), **kw)
+                        fn=1.0, fr=1.15, params=ZogyParams(fft=impl),
+                        **kw)
     want = zogy_oracle64(new, ref, pn, pr, sn, sr, fn=1.0, fr=1.15,
                          **okw)
 
