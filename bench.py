@@ -7,18 +7,112 @@ frames/sec.  The baseline is the north-star target from BASELINE.md
 driver's target is < 1 s/frame, so vs_baseline is frames/sec relative to
 1 frame/s).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"}.  Each
+printed line is a complete, valid record; later lines supersede earlier
+ones (the raw->catalog number lands FIRST, extended with the science
+number if time allows).
+
+UNKILLABLE CONTRACT (round-4; VERDICT.md item 1): a valid JSON line is
+ALWAYS emitted within a hard wall-clock budget.  A SIGALRM fires at
+BBT_BENCH_BUDGET seconds (default 450) and prints the best record
+measured so far — or, if not even the first tunneled compile finished
+(measured 80-600 s each, PERF_NOTES.md "Environment quirks"), the last
+successful record persisted in the compile-cache dir, tagged "stale".
+Cold-cache salt exploration is capped at 2 rolls and a 300 s compile
+budget so the happy path also fits the window.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
+START = time.time()
+# hard wall-clock budget for the WHOLE bench (setup + compiles + steady
+# measurement); the driver's own timeout killed round 3 at an unknown
+# window >= a few minutes, so stay safely inside plausible windows
+HARD_BUDGET = float(os.environ.get("BBT_BENCH_BUDGET", "450"))
+
+# the current best record; mutated in place as measurements land so the
+# alarm handler can always print something valid
+RECORD = {
+    "metric": "frames/sec/chip raw->catalog (10.5k^2 16-ch frame)",
+    "value": 0.0,
+    "unit": "frames/s",
+    "vs_baseline": 0.0,
+    "note": "no measurement completed inside the wall budget",
+}
+_RECORD_PATH = [None]   # cache-dir file persisting the last good record
+
+
+def _emit():
+    print(json.dumps(RECORD), flush=True)
+
+
+def _persist():
+    path = _RECORD_PATH[0]
+    if path:
+        try:
+            with open(path, "w") as f:
+                json.dump(RECORD, f)
+        except OSError:
+            pass
+
+
+def _on_alarm(signum, frame):
+    print(f"# ALARM at {time.time() - START:.0f}s: emitting best-so-far",
+          file=sys.stderr)
+    if RECORD["value"] <= 0.0:
+        # nothing measured this run: fall back to the persisted record
+        # of the last successful run, clearly tagged
+        path = _RECORD_PATH[0]
+        if path and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    old = json.load(f)
+                old["note"] = ("stale: previous run's record; this run "
+                               "hit the wall budget before its first "
+                               "compile finished")
+                RECORD.clear()
+                RECORD.update(old)
+            except (OSError, ValueError):
+                pass
+    _emit()
+    os._exit(0)
+
+
+def remaining() -> float:
+    return HARD_BUDGET - (time.time() - START)
+
+
+def _watchdog():
+    """Emit-and-exit from a daemon thread at the wall budget.
+
+    SIGALRM alone is NOT enough: a Python signal handler runs on the
+    main thread between bytecodes, so a main thread blocked inside a
+    tunneled-compile C call (the round-3 failure mode, 80-600 s per
+    compile) would defer it past the driver's own kill window.  The
+    thread fires regardless, as the blocking RPC releases the GIL.
+    """
+    import threading
+
+    def fire():
+        _on_alarm(None, None)
+
+    t = threading.Timer(max(30.0, HARD_BUDGET), fire)
+    t.daemon = True
+    t.start()
+    return t
+
 
 def main():
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(max(30, int(HARD_BUDGET)) + 15)   # backstop to the thread
+    wd = _watchdog()
+
     t_setup = time.time()
     import jax
     import jax.numpy as jnp
@@ -36,6 +130,8 @@ def main():
         enable_persistent_cache, host_fingerprint)
     cache_dir = enable_persistent_cache(
         f"/tmp/jax_cache_blackbox_tpu_bench_{host_fingerprint()}")
+    if cache_dir:
+        _RECORD_PATH[0] = os.path.join(cache_dir, "last_record.json")
     from blackbox_tpu.core.geometry import MEERLICHT
     from blackbox_tpu.config.defaults import ReductionSettings
     from blackbox_tpu.pipeline.reduce import (
@@ -82,11 +178,6 @@ def main():
           file=sys.stderr)
 
     def step(chan, osvert, oshori, mbias, mflat):
-        # NOTE on compile variance: the tunnel compiler's autotuning is
-        # seeded by the module hash (incl. source-line metadata) — the
-        # same program compiled from different line numbers lands
-        # executables up to 35% apart.  The persistent cache above pins
-        # whichever compile this file's current metadata produces.
         # masters are arguments, NOT closure captures: closed-over
         # device arrays are baked into the HLO as 446 MB constants,
         # which the tunneled compile service rejects
@@ -126,16 +217,30 @@ def main():
     # traced program changes, so a salt pinned for an OLD program must
     # not stop exploration for a new one (observed 53% salt spread on
     # one program — a stale pin can strand the bench far off its best
-    # roll).  StableHLO text of the unsalted step is a stable key.
+    # roll).  Source files of every module the step traces through
+    # stand in for the module hash — lowering the step to StableHLO
+    # text for an exact key measured 2-3 MINUTES on this one-core host
+    # (round-4), an untenable share of the wall budget.
+    import glob
     import hashlib
-    fp = hashlib.sha256(
-        jax.jit(step).lower(*args).as_text().encode()).hexdigest()[:16]
+    import blackbox_tpu
+    pkg = os.path.dirname(blackbox_tpu.__file__)
+    h = hashlib.sha256()
+    for path in sorted(
+            [__file__]
+            + glob.glob(os.path.join(pkg, "ops", "*.py"))
+            + glob.glob(os.path.join(pkg, "pallas", "*.py"))
+            + glob.glob(os.path.join(pkg, "pipeline", "*.py"))
+            + glob.glob(os.path.join(pkg, "core", "*.py"))):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    fp = h.hexdigest()[:16]
 
-    # load the previously-winning salt; otherwise roll all salts and
-    # keep the best (each roll pays one tunnel compile, but the winner
-    # persists in the cache for every later run)
+    # load the previously-winning salt; with no valid pin, roll at most
+    # TWO salts (each roll pays one tunneled compile, 80-600 s — the
+    # round-3 record died to unbounded exploration)
     salt_path = os.path.join(cache_dir, "salt") if cache_dir else None
-    salts = [0, 1, 2, 3, 4, 5, 6, 7]
+    salts = [0, 1]
     pinned_ms = None
     if salt_path and os.path.exists(salt_path):
         try:
@@ -144,12 +249,30 @@ def main():
             pinned = int(parts[0])
             if len(parts) > 2 and parts[2] == fp:
                 pinned_ms = float(parts[1])
-            # try the pinned winner first; the early-stop below only
-            # engages when the fingerprint still matches the program
-            # the pin was recorded for
-            salts = [pinned] + [s for s in salts if s != pinned]
+            salts = [pinned] + [s for s in [0, 1] if s != pinned]
         except (ValueError, OSError):
             pass
+
+    def record_catalog(fps, note=None):
+        RECORD["value"] = round(fps, 4)
+        RECORD["vs_baseline"] = round(fps / 1.0, 4)
+        if note:
+            RECORD["note"] = note
+        else:
+            RECORD.pop("note", None)
+        _persist()
+        _emit()
+
+    def write_pin(path, salt, ms, fp):
+        """Persist the best salt IMMEDIATELY — the alarm can kill the
+        run mid-exploration, and a run that never pins re-explores
+        (and re-times-out) forever."""
+        if path:
+            try:
+                with open(path, "w") as f:
+                    f.write(f"{salt} {ms:.1f} {fp}")
+            except OSError:
+                pass
 
     best = None
     t_compile_total = 0.0
@@ -160,23 +283,24 @@ def main():
               f"2-iter steady {t2 * 1e3:.1f} ms", file=sys.stderr)
         if best is None or t2 < best[3]:
             best = (salt, fn, res, t2)
+            write_pin(salt_path, salt, t2 * 1e3, fp)
+            # EMIT IMMEDIATELY: the official record must exist before
+            # any further exploration pays another tunneled compile
+            record_catalog(1.0 / t2,
+                           note="2-iter probe; steady refines below")
         if best[3] < 0.36:      # good roll — stop paying compiles
             break
         # a pinned salt rolling within 8% of its recorded steady time
         # means the lottery landed where it always lands — stop paying
-        # four more tunnel compiles for noise
+        # more tunnel compiles for noise
         if pinned_ms is not None and salt == salts[0] \
                 and best[3] * 1e3 <= pinned_ms * 1.08:
             break
-        if t_compile_total > 900.0:   # tunnel compiles can take minutes
+        # a fresh tunneled compile runs 80-600 s: don't START one
+        # without the wall budget to finish it
+        if t_compile_total > 300.0 or remaining() < 180.0:
             break
     salt, fn, res, _ = best
-    if salt_path:
-        try:
-            with open(salt_path, "w") as f:
-                f.write(f"{salt} {best[3] * 1e3:.1f} {fp}")
-        except OSError:
-            pass
     print(f"# picked salt {salt}; "
           f"nobjects={int(res['nobjects'])} ncosmics={int(res['ncosmics'])} "
           f"seeing={float(res['seeing']):.2f}px", file=sys.stderr)
@@ -194,34 +318,40 @@ def main():
     dt = (time.time() - t0) / n_iter
     fps = 1.0 / dt
     print(f"# steady state {dt * 1e3:.1f} ms/frame", file=sys.stderr)
+    record_catalog(fps)
 
     # ---- second metric: the FULL production science frame, raw ->
     # transient catalog (calibrate + extract + ref remap + ZOGY +
     # transient extraction as two back-to-back device programs with no
     # host sync between them — the reference's complete per-science-
-    # frame flow, blackbox.py:1474-1991 + 2429-2568)
-    sci_fps = None
-    try:
-        sci_fps = science_bench(ctx, geom, args, xtalk, cache_dir)
-    except Exception as e:                 # noqa: BLE001
-        print(f"# science bench failed: {type(e).__name__}: {e}",
+    # frame flow, blackbox.py:1474-1991 + 2429-2568).  Only attempted
+    # with wall budget to spare; the raw->catalog record above already
+    # stands either way.
+    if remaining() > 150.0:
+        try:
+            sci_fps = science_bench(ctx, geom, args, xtalk, cache_dir)
+        except Exception as e:                 # noqa: BLE001
+            print(f"# science bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        else:
+            if sci_fps is not None:
+                RECORD["extra_metrics"] = {
+                    "raw->transient_catalog frames/s (new+ref, full "
+                    "science frame)": round(sci_fps, 4)}
+                _persist()
+                _emit()
+    else:
+        print(f"# skipping science bench: {remaining():.0f}s left",
               file=sys.stderr)
-
-    out = {
-        "metric": "frames/sec/chip raw->catalog (10.5k^2 16-ch frame)",
-        "value": round(fps, 4),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 1.0, 4),
-    }
-    if sci_fps is not None:
-        out["extra_metrics"] = {
-            "raw->transient_catalog frames/s (new+ref, full science "
-            "frame)": round(sci_fps, 4)}
-    print(json.dumps(out))
+    signal.alarm(0)
+    wd.cancel()
+    # final (complete) record; supersedes the progressive lines above
+    _emit()
 
 
-def science_bench(ctx, geom, args, xtalk, cache_dir=None) -> float:
-    """Steady frames/s of the two-program raw->transient path."""
+def science_bench(ctx, geom, args, xtalk, cache_dir=None):
+    """Steady frames/s of the two-program raw->transient path, or None
+    if the wall budget ran out before a steady measurement."""
     import jax
     import jax.numpy as jnp
     from blackbox_tpu.ops.psf import psf_at
@@ -305,13 +435,14 @@ def science_bench(ctx, geom, args, xtalk, cache_dir=None) -> float:
     import blackbox_tpu.ops.transients as _m4
     import blackbox_tpu.ops.warp as _m5
     h = hashlib.sha256()
-    for m in (_m1, _m2, _m3, _m4, _m5):
-        with open(m.__file__, "rb") as f:
+    for path in [__file__] + [m.__file__ for m in
+                              (_m1, _m2, _m3, _m4, _m5)]:
+        with open(path, "rb") as f:
             h.update(f.read())
     fp = h.hexdigest()[:16]
     pin_path = (os.path.join(cache_dir, "salt_sci")
                 if cache_dir else None)
-    salts = [1, 2, 3, 4]
+    salts = [1, 2]
     pinned_ms = None
     if pin_path and os.path.exists(pin_path):
         try:
@@ -320,9 +451,18 @@ def science_bench(ctx, geom, args, xtalk, cache_dir=None) -> float:
             pinned = int(parts[0])
             if len(parts) > 2 and parts[2] == fp:
                 pinned_ms = float(parts[1])
-            salts = [pinned] + [s for s in salts if s != pinned]
+            salts = [pinned] + [s for s in [1, 2] if s != pinned]
         except (ValueError, OSError):
             pass
+
+    def write_pin(salt, ms):
+        # progressive pin: the alarm can kill the run mid-exploration
+        if pin_path:
+            try:
+                with open(pin_path, "w") as f:
+                    f.write(f"{salt} {ms:.1f} {fp}")
+            except OSError:
+                pass
 
     best = None
     t_compile_total = 0.0
@@ -348,18 +488,14 @@ def science_bench(ctx, geom, args, xtalk, cache_dir=None) -> float:
               f"2-iter steady {t2*1e3:.1f} ms", file=sys.stderr)
         if best is None or t2 < best[1]:
             best = (salt, t2, run_pair)
+            write_pin(salt, t2 * 1e3)
         if pinned_ms is not None and salt == salts[0] \
                 and best[1] * 1e3 <= pinned_ms * 1.08:
             break
-        if t_compile_total > 600.0:
+        # don't START a fresh 80-600 s tunnel compile near the budget
+        if t_compile_total > 200.0 or remaining() < 180.0:
             break
     salt, _, run_pair = best
-    if pin_path:
-        try:
-            with open(pin_path, "w") as f:
-                f.write(f"{salt} {best[1] * 1e3:.1f} {fp}")
-        except OSError:
-            pass
     print(f"# science picked salt {salt}", file=sys.stderr)
 
     n_iter = 5
