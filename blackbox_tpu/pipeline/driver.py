@@ -280,7 +280,8 @@ class Pipeline:
         if problems:
             return FrameResult(status="rejected",
                                error="; ".join(problems))
-        h = set_header(h, self.site, field_grid=self.field_grid)
+        h = set_header(h, self.site, field_grid=self.field_grid,
+                       tel=self.telescope)
         # raw QC gate (reference blackbox.py:1095: red => abort)
         flag = run_qc_check(h, self.telescope, check_key_type="raw")
         if flag == "red":

@@ -50,11 +50,73 @@ def check_header_basic(h, n_fields_max: int = 19999) -> list:
     return problems
 
 
-def set_header(h: Header, site, field_grid=None) -> Header:
+# ---- ML1 archival header repairs (table-driven) ----------------------
+#
+# The early MeerLICHT archive carries two known acquisition-software
+# bugs that must be repaired before any keyword is consumed (reference
+# blackbox.py:6128-6162 filter mapping, 5890-5907 RA/DEC reference bug).
+# Each entry: (telescope, mjd_start, mjd_end, condition, action).
+
+# Abot wrote the wrong filter wheel position: correct = map[recorded]
+# (determined by PaulG, Oliver & Danielle; reference Redmine bug #281)
+LEGACY_FILTER_MAP_ML1 = {"u": "q", "g": "r", "q": "i",
+                         "r": "g", "i": "z", "z": "u"}
+
+# epoch boundaries (MJD), derived from the reference's ISO timestamps
+_MJD_FILT_TRANS0 = at.iso2mjd("2017-11-19T00:00:00")   # Abot-or-manual
+_MJD_FILT_TRANS1 = at.iso2mjd("2018-02-24T23:59:59")
+_MJD_FILT_ALL0 = at.iso2mjd("2018-02-25T00:00:00")     # all-Abot
+_MJD_FILT_ALL1 = at.iso2mjd("2019-01-13T15:00:00")
+_MJD_RADEC_FIX = at.iso2mjd("2019-02-09T00:00:00")     # RA/DEC off-by-one
+
+
+def patch_legacy_header(h: Header, tel, mjd_obs: float) -> Header:
+    """Repair archival ML1 keyword bugs in place (and return ``h``).
+
+    Reference parity (blackbox.py:6128-6162):
+    * some 2017 data recorded filter 'VR' for 'q';
+    * data taken by the Abot scheduler between 2017-11-19 and
+      2019-01-13T15:00 has the filter wheel mis-identified — during the
+      transition window (until 2018-02-24) only frames with
+      OBSERVER='abot' are remapped, afterwards all frames are.
+    """
+    if tel != "ML1":
+        return h
+    filt = str(h.get("FILTER", "")).strip()
+    if filt == "VR":
+        h["FILTER"] = ("q", "Filter (corrected)")
+        filt = "q"
+    in_transition = _MJD_FILT_TRANS0 <= mjd_obs <= _MJD_FILT_TRANS1
+    in_all_abot = _MJD_FILT_ALL0 <= mjd_obs <= _MJD_FILT_ALL1
+    by_abot = str(h.get("OBSERVER", "")).strip().lower() == "abot"
+    if filt in LEGACY_FILTER_MAP_ML1 and (
+            (in_transition and by_abot) or in_all_abot):
+        h["FILTER"] = (LEGACY_FILTER_MAP_ML1[filt], "Filter (corrected)")
+    return h
+
+
+def legacy_radec_override(h: Header, tel, mjd_obs: float):
+    """ICRS (ra, dec) repairing the early-ML1 pointing bug, or None.
+
+    Until 2019-02-09 the ML1 RA/DEC keywords referred to the SUBSEQUENT
+    image (reference blackbox.py:5890-5907) — except for manual
+    sexagesimal entries, recognisable by the absence of RA-TEL/DEC-TEL.
+    For affected frames the reference substitutes RA-REF/DEC-REF, which
+    are already J2000/ICRS (RA-REF in hours, DEC-REF in degrees).
+    """
+    if (tel == "ML1" and mjd_obs < _MJD_RADEC_FIX
+            and "RA-REF" in h and "DEC-REF" in h):
+        return (_parse_angle(h["RA-REF"], hours=True),
+                _parse_angle(h["DEC-REF"], hours=False))
+    return None
+
+
+def set_header(h: Header, site, field_grid=None, tel=None) -> Header:
     """Normalise the raw header: times, coordinates, observability.
 
     site : (lat_deg, lon_deg_east, height_m)
     field_grid : optional dict field_id -> (ra, dec) for pointing checks
+    tel : telescope id; enables archival repairs (patch_legacy_header)
     """
     lat, lon, height = site
 
@@ -75,11 +137,19 @@ def set_header(h: Header, site, field_grid=None) -> Header:
     h["LST"] = (round(at.lst_deg(mjd_mid, lon) / 15.0, 6),
                 "[h] local sidereal time mid-exposure")
 
+    # archival keyword repairs (ML1 filter-mapping bug; no-op elsewhere)
+    patch_legacy_header(h, tel, mjd_mid)
+
     # pointing: JNOW mount coordinates -> ICRS
     if "RA" in h and "DEC" in h:
         ra_tel = _parse_angle(h["RA"], hours=True)
         dec_tel = _parse_angle(h["DEC"], hours=False)
         ra_icrs, dec_icrs = at.jnow2icrs(ra_tel, dec_tel, mjd_mid)
+        # early-ML1 off-by-one pointing: RA-REF/DEC-REF (already ICRS)
+        # replace the mount coordinates (blackbox.py:5890-5907)
+        fix = legacy_radec_override(h, tel, mjd_mid)
+        if fix is not None:
+            ra_icrs, dec_icrs = fix
         h["RA"] = (round(float(ra_icrs), 6), "[deg] telescope RA (ICRS)")
         h["DEC"] = (round(float(dec_icrs), 6), "[deg] telescope DEC (ICRS)")
         h["AIRMASS"] = (round(float(at.airmass(ra_icrs, dec_icrs, mjd_mid,

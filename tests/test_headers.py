@@ -137,3 +137,76 @@ def test_stamp_flatstats_and_master():
     hf["GAINCF2"] = 1.4
     assert run_qc_check(hf, "ML1", check_key_type="mflat") == "orange"
     assert hf["QCORA1"] == "GAINCF2"
+
+
+def test_legacy_ml1_patches():
+    """Archival ML1 repairs match the reference's inline formulas
+    (blackbox.py:6128-6162 filter mapping, 5890-5907 RA/DEC bug)."""
+    from blackbox_tpu.astro.time import iso2mjd
+    from blackbox_tpu.pipeline.headers import (
+        patch_legacy_header, legacy_radec_override, LEGACY_FILTER_MAP_ML1)
+
+    # 2017 'VR' alias for 'q'
+    h = Header(); h["FILTER"] = "VR"
+    patch_legacy_header(h, "ML1", iso2mjd("2017-06-01T00:00:00"))
+    assert h["FILTER"] == "q"
+
+    # all-Abot window: every frame remapped, reference's exact table
+    mjd_all = iso2mjd("2018-06-01T00:00:00")
+    for old, new in LEGACY_FILTER_MAP_ML1.items():
+        h = Header(); h["FILTER"] = old
+        patch_legacy_header(h, "ML1", mjd_all)
+        assert h["FILTER"] == new, (old, new)
+
+    # transition window: only OBSERVER='abot' frames remapped
+    mjd_tr = iso2mjd("2018-01-15T00:00:00")
+    h = Header(); h["FILTER"] = "u"; h["OBSERVER"] = "Abot"
+    patch_legacy_header(h, "ML1", mjd_tr)
+    assert h["FILTER"] == "q"
+    h = Header(); h["FILTER"] = "u"; h["OBSERVER"] = "PaulG"
+    patch_legacy_header(h, "ML1", mjd_tr)
+    assert h["FILTER"] == "u"
+    h = Header(); h["FILTER"] = "u"       # no OBSERVER at all
+    patch_legacy_header(h, "ML1", mjd_tr)
+    assert h["FILTER"] == "u"
+
+    # boundaries: after 2019-01-13T15:00 and before 2017-11-19, no-op
+    for mjd in (iso2mjd("2019-01-13T16:00:00"),
+                iso2mjd("2017-11-18T23:00:00")):
+        h = Header(); h["FILTER"] = "u"
+        patch_legacy_header(h, "ML1", mjd)
+        assert h["FILTER"] == "u"
+    # other telescopes: never
+    h = Header(); h["FILTER"] = "u"
+    patch_legacy_header(h, "BG2", mjd_all)
+    assert h["FILTER"] == "u"
+
+    # RA/DEC off-by-one: RA-REF (hours) / DEC-REF (deg) replace the
+    # mount pointing before 2019-02-09, only when present
+    h = Header(); h["RA-REF"] = "05:30:00.0"; h["DEC-REF"] = "-30:00:00"
+    fix = legacy_radec_override(h, "ML1", iso2mjd("2019-02-08T00:00:00"))
+    assert fix is not None
+    assert abs(fix[0] - 82.5) < 1e-9 and abs(fix[1] + 30.0) < 1e-9
+    assert legacy_radec_override(h, "ML1",
+                                 iso2mjd("2019-02-10T00:00:00")) is None
+    assert legacy_radec_override(h, "BG3",
+                                 iso2mjd("2019-02-08T00:00:00")) is None
+    h2 = Header()   # manual pointing: no RA-REF -> untouched
+    assert legacy_radec_override(h2, "ML1",
+                                 iso2mjd("2018-01-01T00:00:00")) is None
+
+    # end-to-end through set_header: the repaired RA lands in the header
+    h = Header()
+    h["DATE-OBS"] = "2018-06-01T01:00:00.000"
+    h["EXPTIME"] = 60.0
+    h["FILTER"] = "r"
+    h["IMAGETYP"] = "object"
+    h["OBJECT"] = "4025"
+    h["RA"] = "05:40:30.0"
+    h["DEC"] = "-12:30:00"
+    h["RA-REF"] = "05:40:00.0"
+    h["DEC-REF"] = "-12:00:00"
+    h = set_header(h, SITE, tel="ML1")
+    assert h["FILTER"] == "g"                      # Abot window remap
+    assert abs(h["RA"] - 85.0) < 1e-6              # RA-REF in hours
+    assert abs(h["DEC"] + 12.0) < 1e-6
