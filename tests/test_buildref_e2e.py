@@ -66,3 +66,42 @@ def test_build_reference_end_to_end(multi_night):
     # rebuilding without a depth gain is refused (idempotence gate)
     status2, info2 = build_reference(tree, "ML1", 42, "q", s)
     assert status2 == "not_deeper", (status2, info2)
+
+
+def test_build_reference_end_to_end_fast(tmp_path):
+    """Default-suite select->coadd->QC->publish story (VERDICT r3
+    item 4): trimmed night, same buildref path as the slow test."""
+    root = str(tmp_path)
+    rng = np.random.default_rng(121)
+    files, truths, tree = night_of_observations(
+        root, TINY, rng, date="20260401", nbias=3, nflat=3, nsci=3,
+        nstars=20, ncosmics=2, trail=False, nsat=0, sky_e=300.0,
+        ra_deg=RA0, dec_deg=DEC0)
+    s = ReductionSettings(geometry=TINY, pixscale=PIXSCALE)
+    sci_truths = truths[-3:]
+    allstars = np.concatenate([t.stars for t in sci_truths])
+
+    class T:
+        stars = allstars
+    pipe = Pipeline(tree, "ML1", s, _ctx(s),
+                    ref_catalog=_ref_catalog_from_truth(T),
+                    subtract_refs=False)
+    results = [pipe.process_file(f) for f in files]
+    sci = [r for r in results if r.header and
+           str(r.header.get("IMAGETYP")).strip() == "object"]
+    assert len(sci) == 3
+    assert all(r.status == "reduced" for r in sci), \
+        [(r.status, r.error, r.qc_flag) for r in sci]
+
+    bs = BuildRefSettings(nimages_min=2, nimages_max=10,
+                          limmag_target=30.0, seeing_max=10.0)
+    status, info = build_reference(tree, "ML1", 42, "q", bs)
+    assert status == "published", (status, info)
+    assert info["nimages"] >= 2
+
+    img, h = read_rice(info["path"])
+    assert img.shape == TINY.red_shape
+    assert float(h["LIMMAG"]) > 0
+    # rebuilding without a depth gain is refused (idempotence gate)
+    status2, _ = build_reference(tree, "ML1", 42, "q", bs)
+    assert status2 == "not_deeper", status2
