@@ -60,6 +60,17 @@ class LACosmicParams:
     # opt-in fused Pallas kernel (blackbox_tpu.pallas.lacosmic);
     # experimental on current Mosaic — see that module's docstring
     use_pallas: bool = False
+    # route the DENSE round's full-frame 5x5 medians through the
+    # VMEM-tile Pallas kernel (blackbox_tpu.pallas.medians) — bit-
+    # identical comparator networks (0 mismatches over the full 10560²
+    # frame, compiled on v5e), one HBM read+write per median.  OPT-IN:
+    # isolated it beats the jnp strips 84.9 vs 274 ms, but in the full
+    # production program the bench is unchanged (361 vs 358-374 ms
+    # lottery band) — the stage is VPU-ALU-bound, so same comparator
+    # count = same in-context cost, and the kernel adds Mosaic risk
+    # surface for no measured gain (PERF_NOTES.md round 4).  None =
+    # auto = currently False everywhere.
+    pallas_medians: bool | None = None
     # iteration-1 pre-screen: place the exact windowed detection from a
     # cheap separable-extrema SUPERSET of the seed pixels
     # (_prescreen_seeds) instead of running the dense median networks
@@ -201,11 +212,24 @@ def lacosmic(data, inmask, rdnoise, params: LACosmicParams = LACosmicParams(),
                 counts.append(last)
         return clean, crmask, jnp.stack(counts)
 
+    # None = auto: resolved to False for now — bit-parity holds on
+    # chip but the in-context cost is identical (ALU-bound stage) and
+    # the jnp strips carry no Mosaic risk (see LACosmicParams)
+    use_pm = bool(p.pallas_medians)
+
+    def medf_dense(a, k):
+        # full-frame 5x5 medians ride the VMEM-tile Pallas kernel
+        # (bit-identical networks); 3x3/7x7 stay on the jnp strips,
+        # which win at those sizes (measured on v5e, PERF_NOTES r4)
+        if use_pm and k == 5:
+            from blackbox_tpu.pallas.medians import median_filter_pallas
+            return median_filter_pallas(a, 5)
+        return median_filter(a, k, p.strip_rows)
+
     def dense_iter(ops):
         clean, crmask = ops
         cosm, m5un = _detect_math(
-            clean, ~inmask, rdnoise, p,
-            lambda a, k: median_filter(a, k, p.strip_rows),
+            clean, ~inmask, rdnoise, p, medf_dense,
             laplacian_subsampled)
         new = cosm & ~crmask
         crmask = crmask | cosm

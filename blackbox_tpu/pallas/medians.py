@@ -77,16 +77,20 @@ def _median_kernel(img_hbm, out_ref, t, sem, *, th, tw, k, halo):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "th", "tw", "interpret"))
-def median_filter_pallas(img, k: int = 5, th: int = 256, tw: int = 512,
-                         interpret: bool = False):
+def median_filter_pallas(img, k: int = 5, th: int = 128, tw: int = 512,
+                         interpret: bool | None = None):
     """k x k median of a float32 image; borders keep the input value.
 
     One HBM read (haloed tile DMA) + one write per pixel; all
     comparator work VMEM-resident.  k must be odd and <= 9 (the halo
-    rides the 64-lane DMA alignment margin).
+    rides the 64-lane DMA alignment margin).  interpret=None runs the
+    compiled kernel on TPU and the interpreter elsewhere (so callers
+    can route unconditionally; CPU tests stay correct, just slow).
     """
     if k % 2 != 1 or k > 9:
         raise ValueError(f"k={k}: odd k <= 9 only")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     H, W = img.shape
     p = k // 2
     halo = 8                     # row halo, sublane-aligned (>= p)

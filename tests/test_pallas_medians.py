@@ -29,3 +29,21 @@ def test_median_parity_multitile(rng):
     out = np.asarray(median_filter_pallas(
         jnp.asarray(img), 5, th=32, tw=256, interpret=True))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_lacosmic_pallas_medians_routing(rng):
+    """lacosmic(pallas_medians=True) is bit-identical to the jnp strip
+    path (the kernel runs interpreted off-TPU)."""
+    from blackbox_tpu.ops.cosmics import LACosmicParams, lacosmic
+
+    img = rng.normal(100.0, 5.0, (64, 160)).astype(np.float32)
+    for y, x in [(10, 20), (40, 90), (50, 140)]:
+        img[y, x] += 400.0          # cosmic hits
+    inmask = np.zeros(img.shape, bool)
+    base = dict(strip_rows=32, windowed=False)
+    a = lacosmic(jnp.asarray(img), jnp.asarray(inmask), 9.0,
+                 LACosmicParams(pallas_medians=False, **base))
+    b = lacosmic(jnp.asarray(img), jnp.asarray(inmask), 9.0,
+                 LACosmicParams(pallas_medians=True, **base))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
