@@ -77,6 +77,15 @@ class RefInput:
     saturate: float = 55000.0
     fwhm_pix: float = 4.0       # seeing FWHM [pix] (clip protection)
     psf_stamp: Optional[np.ndarray] = None   # (S, S) centre PSF
+    # Optional compact background-STD representation: the (ny, nx)
+    # sigma-clipped mesh whose Catmull-Rom upsample IS bkg_std
+    # (ops.background.mini2back).  When every co-add input carries it,
+    # the blocked combiner reconstructs each std slab on device from
+    # the resident mesh instead of streaming full-res std planes —
+    # 4 of the 9 host->device bytes/px of the co-add stream, bit-
+    # identical rows (matmul rows are independent).
+    bkg_std_mini: Optional[np.ndarray] = None   # (ny, nx) float32
+    bkg_boxsize: int = 0                        # mesh box size [px]
 
 
 def select_images(table: Sequence[dict],
@@ -245,17 +254,42 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
     block_rows = min(block_rows, H)
 
     imgs = [np.asarray(inp.image, np.float32) for inp in inputs]
-    stds = [np.asarray(inp.bkg_std, np.float32) for inp in inputs]
     msks = [np.asarray(inp.mask, np.uint8) for inp in inputs]
     Hin, Win = imgs[0].shape
+
+    # background-STD source: when every input carries its mini mesh,
+    # the std slabs rebuild on device from resident meshes + the
+    # Catmull-Rom weight matrices (transferred ONCE) — cutting the
+    # per-block host->device stream from 9 to 5 bytes/px.  Matmul rows
+    # are independent, so row-sliced reconstruction is bit-identical
+    # to slicing the full-res plane (ops.background.mini2back).
+    use_mini = all(inp.bkg_std_mini is not None and inp.bkg_boxsize
+                   for inp in inputs)
+    use_mini = use_mini and len(
+        {(inp.bkg_std_mini.shape, inp.bkg_boxsize)
+         for inp in inputs}) == 1
+    if use_mini:
+        from blackbox_tpu.ops.background import _catmull_rom_matrix
+        box_std = inputs[0].bkg_boxsize
+        stdm_stack = jnp.asarray(np.stack(
+            [np.asarray(inp.bkg_std_mini, np.float32)
+             for inp in inputs]))
+        Wy_std = jnp.asarray(_catmull_rom_matrix(
+            Hin, stdm_stack.shape[1], box_std).astype(np.float32))
+        Wx_std = jnp.asarray(_catmull_rom_matrix(
+            Win, stdm_stack.shape[2], box_std).astype(np.float32))
+        stds = None
+    else:
+        stds = [np.asarray(inp.bkg_std, np.float32)
+                for inp in inputs]
 
     fscales = np.array(
         [10.0 ** (0.4 * (zp_ref - (inp.zp - inp.extco
                                    * (inp.airmass - 1.0))))
          for inp in inputs], np.float32)
     sigmas = jnp.asarray(
-        [float(np.median(st[::4, ::4])) * f
-         for st, f in zip(stds, fscales)], jnp.float32)
+        [float(np.median(np.asarray(inp.bkg_std)[::4, ::4])) * f
+         for inp, f in zip(inputs, fscales)], jnp.float32)
     do_clip = s.combine_type == "clipped" and N >= s.clip.nmin_clip
     protect_radius = int(np.ceil(s.clip.protect_radius_fwhm
                                  * max(inp.fwhm_pix for inp in inputs)))
@@ -276,10 +310,22 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
     slab_h = min(erows + 32 + 2 * pad_rows, Hin)
 
     @jax.jit
-    def combine_block(slab_img, slab_std, slab_msk, csy, csx, Wy, Wx,
+    def combine_block(slab_img, std_in, slab_msk, csy, csx, Wy, Wx,
                       fs):
         def one(t):
-            im, st, mk, sy_c, sx_c, f = t
+            im, st_t, mk, sy_c, sx_c, f = t
+            if use_mini:
+                # std slab rows rebuilt on device: rows y0s..y0s+slab_h
+                # of mini2back's (Wy @ mesh) @ Wx.T — bit-identical to
+                # slicing the full-res plane (matmul row independence)
+                stdm, y0s = st_t
+                wy = jax.lax.dynamic_slice(
+                    Wy_std, (y0s, 0), (slab_h, Wy_std.shape[1]))
+                st = jnp.matmul(jnp.matmul(wy, stdm,
+                                           precision="highest"),
+                                Wx_std.T, precision="highest")
+            else:
+                st = st_t
             # coarse -> full grids on device (two small matmuls)
             yl = upsample_grid(sy_c, Wy, Wx)
             xl = upsample_grid(sx_c, Wy, Wx)
@@ -293,7 +339,7 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
         # sequential over inputs (lax.map, not vmap): resampling all N
         # inputs concurrently multiplies the live temps by N and OOMs
         stack, std_b, mask_b = jax.lax.map(
-            one, (slab_img, slab_std, slab_msk, csy, csx, fs))
+            one, (slab_img, std_in, slab_msk, csy, csx, fs))
         discard = (mask_b & jnp.uint8(s.masktype_discard)) != 0
         w = jnp.where(discard | (std_b <= 0), 0.0,
                       1.0 / jnp.maximum(std_b, 1e-6) ** 2)
@@ -306,11 +352,13 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
             nclip = jnp.zeros(co.shape, jnp.int32)
         mask_co = coadd_mask(mask_b)
         mask_co = jnp.where(wsum <= 0, mask_co | maskbits.EDGE, mask_co)
-        return co, wsum, nclip, mask_co
+        # nclip <= N <= 255: uint8 on the wire — the device->host drain
+        # is 3 bytes/px lighter at zero information loss
+        return co, wsum, nclip.astype(jnp.uint8), mask_co
 
     out_img = np.zeros(out_shape, np.float32)
     out_wsum = np.zeros(out_shape, np.float32)
-    out_nclip = np.zeros(out_shape, np.int32)
+    out_nclip = np.zeros(out_shape, np.int32)   # widened on drain
     out_mask = np.zeros(out_shape, np.uint8)
 
     Wy = Wx = None
@@ -336,6 +384,7 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
         ey0 = max(0, ((b0 - ext) // 32) * 32)
         off = b0 - ey0
         slabs_i, slabs_s, slabs_m, csys, csxs = [], [], [], [], []
+        y0s_list = []
         for i in range(N):
             sy_c, sx_c, Wy_b, Wx_b = remap_grid_coarse(
                 inputs[i].wcs, out_wcs, (erows, W), y0=ey0)
@@ -348,14 +397,21 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
                             "span %d exceeds slab %d (raise pad_rows)",
                             b0, i, hi - lo, slab_h)
             y0s = int(np.clip(lo, 0, max(Hin - slab_h, 0)))
+            y0s_list.append(y0s)
             slabs_i.append(imgs[i][y0s:y0s + slab_h])
-            slabs_s.append(stds[i][y0s:y0s + slab_h])
+            if not use_mini:
+                slabs_s.append(stds[i][y0s:y0s + slab_h])
             slabs_m.append(msks[i][y0s:y0s + slab_h])
             csys.append((sy_c - y0s).astype(np.float32))
             csxs.append(sx_c.astype(np.float32))
+        if use_mini:
+            std_in = (stdm_stack,
+                      jnp.asarray(np.asarray(y0s_list, np.int32)))
+        else:
+            std_in = jnp.asarray(np.stack(slabs_s))
         res = combine_block(
             jnp.asarray(np.stack(slabs_i)),
-            jnp.asarray(np.stack(slabs_s)),
+            std_in,
             jnp.asarray(np.stack(slabs_m)),
             jnp.asarray(np.stack(csys)), jnp.asarray(np.stack(csxs)),
             Wy, Wx, fs_dev)
@@ -434,6 +490,7 @@ def load_ref_input(red_path: str, bkg_boxsize: int = 256) -> RefInput:
 
     return RefInput(
         image=img - bkg, bkg_std=bstd, mask=mask,
+        bkg_std_mini=np.asarray(stdm, np.float32), bkg_boxsize=box,
         wcs=wcs,
         zp=float(h.get("PC-ZP", 25.0)),
         airmass=float(h.get("AIRMASS", 1.0)),

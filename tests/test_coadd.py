@@ -267,3 +267,38 @@ def test_clip_protection_per_star(rng):
     nclip0 = np.asarray(nclip0)
     assert sum(nclip0[(np.abs(yy - y) <= 8) & (np.abs(xx - x) <= 8)].sum()
                for (y, x) in stars_pos) > 0
+
+
+def test_blocked_coadd_mini_std_parity(rng):
+    """The device-side mini->std slab reconstruction is bit-identical
+    to streaming pre-upsampled full-res std planes (matmul rows are
+    independent), so the transfer-lean path changes nothing."""
+    from blackbox_tpu.ops.background import mini2back
+    from blackbox_tpu.pipeline.buildref import coadd_field_blocked
+    import dataclasses as dc
+
+    H = W = 128
+    box = 32
+    wcs_out = TanWCS.simple(150.0, -30.0, 0.5642, (H, W))
+    inputs_full, inputs_mini = [], []
+    for i in range(4):
+        w_i = TanWCS.simple(150.0 + 1e-4 * i, -30.0 - 5e-5 * i,
+                            0.5642, (H, W), rot_deg=0.4 * i)
+        img = rng.normal(0, 4.0, (H, W)).astype(np.float32)
+        mask = np.zeros((H, W), np.uint8)
+        stdm = (4.0 + 0.5 * rng.random((H // box, W // box))
+                ).astype(np.float32)
+        bstd = jnp.asarray(mini2back(jnp.asarray(stdm), (H, W), box))
+        base = RefInput(image=jnp.asarray(img), bkg_std=bstd,
+                        mask=jnp.asarray(mask), wcs=w_i, zp=25.0)
+        inputs_full.append(base)
+        inputs_mini.append(dc.replace(base, bkg_std_mini=stdm,
+                                      bkg_boxsize=box))
+
+    a = coadd_field_blocked(inputs_full, wcs_out, (H, W),
+                            block_rows=32, pad_rows=16)
+    b = coadd_field_blocked(inputs_mini, wcs_out, (H, W),
+                            block_rows=32, pad_rows=16)
+    for key in ("image", "wsum", "nclipped", "mask", "bkg_std"):
+        np.testing.assert_array_equal(np.asarray(a[key]),
+                                      np.asarray(b[key]), err_msg=key)
