@@ -303,3 +303,24 @@ def test_zogy_pack_fft_matches_unpacked(rng):
                                        err_msg=f"{key} {kw.keys()}")
         np.testing.assert_allclose(float(b["F_S"]), float(a["F_S"]),
                                    rtol=1e-4)
+
+
+def test_fft_auto_resolves_to_xla_off_tpu(rng):
+    """ZogyParams.fft='auto' must use the complex64 xla path on the CPU
+    mesh (the split kernel would run interpreted); parity with an
+    explicit fft='xla' call is exact."""
+    import jax
+    from blackbox_tpu.ops.zogy import ZogyParams, zogy_subtract
+
+    H = W = 96
+    new = rng.normal(100.0, 5.0, (H, W)).astype(np.float32)
+    ref = rng.normal(100.0, 4.0, (H, W)).astype(np.float32)
+    yy = np.arange(25, dtype=np.float32) - 12.0
+    psf = np.exp(-(yy[:, None] ** 2 + yy[None, :] ** 2) / 8.0)
+    psf = (psf / psf.sum()).astype(np.float32)
+    args = (jnp.asarray(new), jnp.asarray(ref), jnp.asarray(psf),
+            jnp.asarray(psf), 5.0, 4.0)
+    a = zogy_subtract(*args, params=ZogyParams(fft="auto"))
+    b = zogy_subtract(*args, params=ZogyParams(fft="xla"))
+    np.testing.assert_array_equal(np.asarray(a["Scorr"]),
+                                  np.asarray(b["Scorr"]))
