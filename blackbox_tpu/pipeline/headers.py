@@ -106,8 +106,17 @@ def legacy_radec_override(h: Header, tel, mjd_obs: float):
     """
     if (tel == "ML1" and mjd_obs < _MJD_RADEC_FIX
             and "RA-REF" in h and "DEC-REF" in h):
-        return (_parse_angle(h["RA-REF"], hours=True),
-                _parse_angle(h["DEC-REF"], hours=False))
+        # RA-REF is in HOURS in every format — the reference parses it
+        # with Angle(..., unit=u.hour), which also scales a bare
+        # decimal by 15 (unlike the mount RA keyword, whose decimal
+        # form is degrees); _parse_angle only applies the hour scale to
+        # sexagesimal strings, so scale decimals here
+        ra_ref = h["RA-REF"]
+        dec = _parse_angle(h["DEC-REF"], hours=False)
+        try:
+            return 15.0 * float(ra_ref), dec
+        except (TypeError, ValueError):
+            return _parse_angle(ra_ref, hours=True), dec
     return None
 
 

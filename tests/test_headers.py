@@ -210,3 +210,18 @@ def test_legacy_ml1_patches():
     assert h["FILTER"] == "g"                      # Abot window remap
     assert abs(h["RA"] - 85.0) < 1e-6              # RA-REF in hours
     assert abs(h["DEC"] + 12.0) < 1e-6
+
+
+def test_legacy_radec_decimal_hours():
+    """A bare decimal RA-REF is HOURS (the reference parses it with
+    Angle(..., unit=u.hour)), not degrees."""
+    from blackbox_tpu.astro.time import iso2mjd
+    from blackbox_tpu.pipeline.headers import legacy_radec_override
+
+    mjd = iso2mjd("2018-06-01T00:00:00")
+    for raw in ("5.5", 5.5):
+        h = Header(); h["RA-REF"] = raw; h["DEC-REF"] = "-30:00:00"
+        fix = legacy_radec_override(h, "ML1", mjd)
+        assert fix is not None
+        assert abs(fix[0] - 82.5) < 1e-9, (raw, fix)
+        assert abs(fix[1] + 30.0) < 1e-9
