@@ -231,7 +231,13 @@ def main():
             + glob.glob(os.path.join(pkg, "ops", "*.py"))
             + glob.glob(os.path.join(pkg, "pallas", "*.py"))
             + glob.glob(os.path.join(pkg, "pipeline", "*.py"))
-            + glob.glob(os.path.join(pkg, "core", "*.py"))):
+            + glob.glob(os.path.join(pkg, "core", "*.py"))
+            # config shapes the traced step (ReductionSettings -> ctx)
+            # and synth shapes the inputs; a change there must re-roll
+            # the lottery too
+            + glob.glob(os.path.join(pkg, "config", "*.py"))
+            + glob.glob(os.path.join(pkg, "synth", "*.py"))
+            + glob.glob(os.path.join(pkg, "utils", "*.py"))):
         with open(path, "rb") as f:
             h.update(f.read())
     fp = h.hexdigest()[:16]
@@ -350,8 +356,9 @@ def main():
 
 
 def science_bench(ctx, geom, args, xtalk, cache_dir=None):
-    """Steady frames/s of the two-program raw->transient path, or None
-    if the wall budget ran out before a steady measurement."""
+    """Steady frames/s of the two-program raw->transient path (falls
+    back to the 2-iteration probe figure when the wall budget runs out
+    before the 5-iteration steady loop)."""
     import jax
     import jax.numpy as jnp
     from blackbox_tpu.ops.psf import psf_at
@@ -498,6 +505,13 @@ def science_bench(ctx, geom, args, xtalk, cache_dir=None):
     salt, _, run_pair = best
     print(f"# science picked salt {salt}", file=sys.stderr)
 
+    if remaining() < 30.0:
+        # out of wall budget for the 5-iteration steady loop: the
+        # 2-iteration probe already measured this salt — return that
+        # instead of racing the watchdog mid-measurement
+        print(f"# science: budget exhausted, returning 2-iter "
+              f"estimate {best[1]*1e3:.1f} ms", file=sys.stderr)
+        return 1.0 / best[1]
     n_iter = 5
     t0 = time.time()
     for i in range(n_iter):

@@ -510,10 +510,12 @@ def zogy_subtract(new, ref, psf_new, psf_ref, sn, sr,
         # split on TPU at production-scale frames (padding to a 128
         # multiple is then the same fast size the xla path picks);
         # xla elsewhere — tiny frames would pay heavy padding, and the
-        # CPU mesh would pay the kernel interpreter
+        # CPU mesh would pay the kernel interpreter.  pad_fast=False
+        # is an explicit exact-size request the split kernel cannot
+        # honour (it always pads to a 128 multiple), so it stays xla.
         import jax
         impl = ("split" if jax.default_backend() == "tpu"
-                and min(H, W) >= 1024 else "xla")
+                and min(H, W) >= 1024 and p.pad_fast else "xla")
     if impl == "split":
         return _zogy_split(new, ref, psf_new, psf_ref, sn, sr, fn, fr,
                            var_new, var_ref, var_bkg_new, var_bkg_ref,

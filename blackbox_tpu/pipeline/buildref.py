@@ -352,9 +352,13 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
             nclip = jnp.zeros(co.shape, jnp.int32)
         mask_co = coadd_mask(mask_b)
         mask_co = jnp.where(wsum <= 0, mask_co | maskbits.EDGE, mask_co)
-        # nclip <= N <= 255: uint8 on the wire — the device->host drain
-        # is 3 bytes/px lighter at zero information loss
-        return co, wsum, nclip.astype(jnp.uint8), mask_co
+        # nclip <= N: uint8 on the wire when N fits — the device->host
+        # drain is 3 bytes/px lighter at zero information loss (the
+        # survey caps stacks at 40 images; the guard keeps direct
+        # callers with >255 inputs exact rather than wrapping mod 256)
+        if N <= 255:
+            nclip = nclip.astype(jnp.uint8)
+        return co, wsum, nclip, mask_co
 
     out_img = np.zeros(out_shape, np.float32)
     out_wsum = np.zeros(out_shape, np.float32)
