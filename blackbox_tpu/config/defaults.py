@@ -95,7 +95,13 @@ class ReductionSettings(Settings):
     # detected at bin 8, missed at bin 4).  The reference bins 2x for
     # the much slower acstools Hough path.
     use_unet_sat: bool = True       # U-Net segmentation (ASTA-equivalent)
-    sat_bin: int = 8                # binning for trail detection
+    sat_bin: int = 16               # binning for trail detection
+                                    # (16x since round 4: -9 ms
+                                    # in-context AND finds a 1.2-sigma
+                                    # full trail that 8x misses —
+                                    # line noise averages down faster
+                                    # than the signal dilutes; cost is
+                                    # a ~2x wider rasterised mask)
     sat_model_path: Optional[str] = None
 
     # per-channel constants
