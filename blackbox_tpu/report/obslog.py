@@ -3,9 +3,11 @@
 Rebuild of the reference's ``create_obslog``/``send_email``
 (/root/reference/blackbox.py:3280-3656): scan the night's raw+reduced
 trees, extract the standard key set per frame into an ASCII table,
-count QC colors, and optionally email the log.  The weather-page
-screenshot (wkhtmltoimage) is intentionally out of scope for the
-framework core (SURVEY.md §2.4 marks it optional/host-side).
+count QC colors, and optionally email the log.  In place of the
+reference's wkhtmltoimage weather-page screenshot (blackbox.py:
+3445-3488), :func:`weather_overview` renders the night's weather
+telemetry from the frames' own headers into a PNG attached to the
+report — no external webpage or headless browser required.
 """
 
 from __future__ import annotations
@@ -138,22 +140,117 @@ def night_summary(tree: DataTree, date: str, telescope: str,
     ]) + "\n"
 
 
+_WEATHER_PANELS = (
+    # (obslog key, panel title, unit, categorical slot hex)
+    ("WINDAVE", "Wind speed", "km/h", "#2a78d6"),
+    ("RH-MAST", "Relative humidity", "%", "#eb6834"),
+    ("CL-BASE", "Cloud base", "m", "#1baf7a"),
+    ("S-SEEING", "Seeing", "arcsec", "#eda100"),
+)
+
+
+def weather_overview(rows, date: str, telescope: str):
+    """Night weather overview PNG from the frames' own telemetry.
+
+    The reference attaches a wkhtmltoimage screenshot of the SAAO
+    weather webpage to the night report (blackbox.py:3445-3488); this
+    framework renders the equivalent overview from the weather
+    keywords every frame already carries (WINDAVE/RH-MAST/CL-BASE +
+    the measured seeing) — no external webpage, no headless browser.
+    Small multiples, one series and one axis per panel.  Returns PNG
+    bytes, or None when matplotlib or the telemetry is unavailable.
+    """
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from blackbox_tpu.astro.time import iso2mjd
+    except Exception:
+        return None
+
+    pts = []
+    for r in rows:
+        try:
+            t = iso2mjd(str(r["DATE-OBS"]))
+        except (KeyError, TypeError, ValueError):
+            continue
+        pts.append((t, r))
+    if len(pts) < 2:
+        return None
+    pts.sort(key=lambda p: p[0])
+    t0 = pts[0][0]
+    hours = [(t - t0) * 24.0 for t, _ in pts]
+
+    ink, ink2, surface = "#0b0b0b", "#52514e", "#fcfcfb"
+    fig, axes = plt.subplots(len(_WEATHER_PANELS), 1, sharex=True,
+                             figsize=(7.2, 7.2), dpi=110)
+    fig.patch.set_facecolor(surface)
+    any_data = False
+    for ax, (key, title, unit, hue) in zip(axes, _WEATHER_PANELS):
+        xs, ys = [], []
+        for h, (_, r) in zip(hours, pts):
+            v = r.get(key)
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            xs.append(h)
+            ys.append(v)
+        ax.set_facecolor(surface)
+        if len(xs) >= 2:
+            ax.plot(xs, ys, color=hue, linewidth=2.0, marker="o",
+                    markersize=3.5)
+            any_data = True
+        else:
+            ax.text(0.5, 0.5, "no data", transform=ax.transAxes,
+                    ha="center", va="center", color=ink2, fontsize=9)
+        ax.set_ylabel(f"{title} [{unit}]", color=ink2, fontsize=8)
+        ax.grid(True, color="#e8e8e4", linewidth=0.6)
+        ax.tick_params(colors=ink2, labelsize=8)
+        for s in ax.spines.values():
+            s.set_color("#e8e8e4")
+    if not any_data:
+        plt.close(fig)
+        return None
+    axes[-1].set_xlabel(
+        f"hours since first frame ({pts[0][1].get('DATE-OBS')})",
+        color=ink2, fontsize=8)
+    axes[0].set_title(f"{telescope} {date} — night weather telemetry",
+                      color=ink, fontsize=10, loc="left")
+    fig.tight_layout()
+    import io
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", facecolor=surface)
+    plt.close(fig)
+    return buf.getvalue()
+
+
 def create_obslog(tree: DataTree, date: str, telescope: str,
                   email_to: Optional[str] = None,
-                  smtp_host: str = "localhost") -> str:
+                  smtp_host: str = "localhost",
+                  weather: bool = True) -> str:
     """Write the obslog into the night's red dir; optionally email it
     with the night-summary body and the table attached (reference
-    create_obslog, blackbox.py:3280-3578)."""
+    create_obslog, blackbox.py:3280-3578).  weather=True additionally
+    renders and attaches the night's weather-telemetry overview (the
+    reference's weather_screenshot equivalent)."""
     rows = collect_night(tree, date)
     summary = night_summary(tree, date, telescope, rows=rows)
     text = summary + "\n" + format_obslog(rows, date, telescope)
     rdir = tree.red_dir(date)
     path = os.path.join(rdir, f"{telescope}_{date}_obslog.txt")
     get_backend(path).write_bytes(path, text.encode())
+    attachments = [(os.path.basename(path), text.encode())]
+    if weather:
+        png = weather_overview(rows, date, telescope)
+        if png is not None:
+            wpath = os.path.join(rdir,
+                                 f"{telescope}_{date}_weather.png")
+            get_backend(wpath).write_bytes(wpath, png)
+            attachments.append((os.path.basename(wpath), png))
     if email_to:
         send_email(email_to, f"{telescope} night report {date}", summary,
-                   smtp_host=smtp_host,
-                   attachments=((os.path.basename(path), text.encode()),))
+                   smtp_host=smtp_host, attachments=tuple(attachments))
     return path
 
 

@@ -304,3 +304,27 @@ def test_night_summary_counts(tmp_path):
     assert "# full-source cats: 2 (1 red-flagged)" in body
     assert "# transient cats:   2 (1 red-flagged)" in body
     assert "# SSO cats:         2 (1 empty)" in body
+
+
+def test_weather_overview_png(tmp_path):
+    """The night-report weather overview renders a PNG from header
+    telemetry (the reference's weather_screenshot equivalent)."""
+    from blackbox_tpu.report.obslog import weather_overview
+
+    rows = []
+    for i in range(8):
+        rows.append({
+            "DATE-OBS": f"2026-03-01T2{i % 4}:{10 + i:02d}:00.000",
+            "WINDAVE": 12.0 + i, "RH-MAST": 40.0 + 2 * i,
+            "CL-BASE": 2500.0 - 40 * i, "S-SEEING": 1.1 + 0.05 * i,
+        })
+    png = weather_overview(rows, "20260301", "ML1")
+    assert png is not None and png[:8] == b"\x89PNG\r\n\x1a\n"
+    out = tmp_path / "w.png"
+    out.write_bytes(png)
+    assert out.stat().st_size > 10000
+
+    # degrades to None without usable telemetry
+    assert weather_overview([], "20260301", "ML1") is None
+    assert weather_overview([{"DATE-OBS": "x"}] * 3,
+                            "20260301", "ML1") is None
