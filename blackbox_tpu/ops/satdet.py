@@ -433,3 +433,76 @@ def detect_trails(image, mask_excl=None,
                               lambda acc, k=k: acc | line_mask(k),
                               lambda acc: acc, trail_mask)
     return trail_mask, n_trails, top_v
+
+
+def detect_trail_segments(image, mask_excl=None,
+                          params: SatDetParams = SatDetParams(),
+                          seam_rows: tuple = (), seam_cols: tuple = (),
+                          tiles: int = 2):
+    """Partial-trail detection: the band-Radon detector on a
+    ``tiles x tiles`` grid of subframes.
+
+    The full-frame statistic integrates each candidate line END TO END,
+    so a streak lighting only ~1/4 of its line (a tumbling satellite, a
+    glint, a trail entering mid-exposure) fails the lit-fraction gate
+    even at 5 sigma/px (measured at 10560^2, PERF_NOTES round 4) —
+    the same blindness as the reference's acstools path, which its ASTA
+    CNN covers.  Within a subframe the segment spans most of the local
+    line, and a segment-tuned lit-fraction gate (0.3 instead of 0.5 —
+    a trail's off-grid-angle wander splits its lit pixels over
+    adjacent Radon offsets, so even a 60%-of-line segment measures
+    ~0.35) admits it; the winsorised statistic, flank scoring, NMS and
+    thick-structure/seam vetoes run unchanged.  Opt-in: roughly one
+    extra full-frame Radon of cost (the four quarter-size transforms),
+    and a trail crossing several tiles is counted once PER TILE —
+    ``n_trails`` is an upper bound, the MASK is exact either way.
+
+    EXPERIMENTAL, measured at 10560² on v5e: finds 1/4-frame streaks
+    down to 3 sigma/px that the full-frame detector misses at ANY
+    amplitude; zero detections on pure noise and on a 150-star field;
+    but a structured synthetic science frame (4000 stars, seams,
+    vignette, one real trail) yields ~7 detections — ~3 are the trail
+    seen by overlapping tiles, ~4 are genuine >14-sigma linear
+    structure — masking ~0.65% of the frame.  Use where recall beats
+    specificity (deep transient vetting); NOT wired into the
+    production calibration chain.  The peak threshold is floored at
+    12 sigma in this mode (a 10-sigma threshold doubled the
+    structured-frame detections without any recall gain).
+    """
+    import dataclasses
+    params = dataclasses.replace(
+        params, lit_frac=min(params.lit_frac, 0.3),
+        nsigma=max(params.nsigma, 12.0))
+    H, W = image.shape
+    th_, tw_ = H // tiles, W // tiles
+    # OVERLAPPING tile grid (stride = half a tile): a segment of
+    # length >= 1/(2*tiles) of the frame then lies at least half
+    # inside SOME tile — a non-overlapping grid splits a
+    # boundary-straddling segment below the gate (measured at full
+    # scale: a 1/4-frame streak across the 2x2 seam was lost)
+    y0s = sorted({min(i * th_ // 2, H - th_)
+                  for i in range(2 * tiles - 1)})
+    x0s = sorted({min(i * tw_ // 2, W - tw_)
+                  for i in range(2 * tiles - 1)})
+    mask = jnp.zeros((H, W), jnp.bool_)
+    n_tot = jnp.int32(0)
+    snrs = []
+    for y0 in y0s:
+        for x0 in x0s:
+            sub = image[y0:y0 + th_, x0:x0 + tw_]
+            sexcl = (None if mask_excl is None
+                     else mask_excl[y0:y0 + th_, x0:x0 + tw_])
+            srows = tuple(r - y0 for r in seam_rows
+                          if y0 < r < y0 + th_)
+            scols = tuple(c - x0 for c in seam_cols
+                          if x0 < c < x0 + tw_)
+            m, n, s = detect_trails(sub, sexcl, params,
+                                    seam_rows=srows, seam_cols=scols)
+            mask = mask.at[y0:y0 + th_, x0:x0 + tw_].set(
+                mask[y0:y0 + th_, x0:x0 + tw_] | m)
+            n_tot = n_tot + n
+            snrs.append(s)
+    # merged top-k peak significances (same shape contract as
+    # detect_trails' third return)
+    snr, _ = jax.lax.top_k(jnp.concatenate(snrs), params.max_trails)
+    return mask, n_tot, snr

@@ -273,3 +273,40 @@ def test_satdet_custom_band_widths_no_crash(rng):
         jnp.asarray(img), None,
         SatDetParams(bin_factor=4, band_widths=(5, 15)))
     assert int(n) == 0
+
+
+def test_trail_segments_partial_streak(rng):
+    """The opt-in tiled segment mode finds a partial streak the
+    full-frame statistic rejects (lit-fraction gate), and stays quiet
+    on noise and star fields."""
+    import jax
+    from blackbox_tpu.ops.satdet import (SatDetParams, detect_trails,
+                                         detect_trail_segments)
+
+    # 1024² so the ~30% streak carries enough winsorised length for
+    # the segment mode's 12-sigma floor (the statistic is
+    # length-driven; amplitude saturates at the winsor clip)
+    H = W = 1024
+    p = SatDetParams(bin_factor=2)
+    img = rng.normal(0, 1, (H, W)).astype(np.float32)
+    for x in range(80, 80 + 310):        # ~30% of the full line
+        img[int(120 + 0.3 * (x - 80)), x] += 8.0
+    jf = jax.jit(lambda a: detect_trails(a, None, p)[1])
+    js = jax.jit(lambda a: detect_trail_segments(a, None, p)[:2])
+    assert int(jf(jnp.asarray(img))) == 0          # full-frame blind
+    m, n = js(jnp.asarray(img))
+    assert int(n) >= 1                             # segment mode sees it
+    assert int(jnp.sum(m)) > 0
+
+    noise = rng.normal(0, 1, (H, W)).astype(np.float32)
+    _, n0 = js(jnp.asarray(noise))
+    assert int(n0) == 0
+
+    stars = rng.normal(0, 1, (H, W)).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for _ in range(120):
+        x0, y0 = rng.uniform(10, W - 10), rng.uniform(10, H - 10)
+        a = np.exp(rng.uniform(np.log(5), np.log(60)))
+        stars += a * np.exp(-((yy - y0) ** 2 + (xx - x0) ** 2) / 8.0)
+    _, ns = js(jnp.asarray(stars.astype(np.float32)))
+    assert int(ns) == 0
