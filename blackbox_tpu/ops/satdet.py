@@ -386,7 +386,9 @@ def detect_trails(image, mask_excl=None,
         ang_gate = 3.0 * float(np.pi) / n_angles
 
         def seam_hit(k):
-            hw_k = hw + 0.5 * ext[k] * f
+            wander = 1.42 * max(Z.shape) * np.pi / (2.0 * n_angles)
+            hw_k = hw + 0.5 * jnp.maximum(ext[k],
+                                          jnp.float32(wander)) * f
             cth, sth = jnp.cos(th[k]), jnp.sin(th[k])
             hit = jnp.bool_(False)
             for r in seam_rows:
@@ -418,7 +420,16 @@ def detect_trails(image, mask_excl=None,
         t = ay[:, None] + ax[None, :]
         d = jnp.abs(jnp.mod(t - m0_ref[k] + N / 2.0, float(N))
                     - N / 2.0)
-        hw_k = hw + 0.5 * ext[k] * f
+        # the measured lit extent quantises DOWN at coarse offset
+        # bins: a trail misaligned by up to half an angle-grid step
+        # wanders +-diag*pi/(4*n_angles) offsets over its length, which
+        # rounds to ~1 bin at bin 16 — the physical wander bound floors
+        # the widening or the mask strands the trail's ends (measured
+        # at bin 16: 42% coverage of a misaligned 4096-px trail without
+        # the floor, >80% with it; bin 8 resolved the extent and never
+        # needed it)
+        wander = 1.42 * max(Z.shape) * np.pi / (2.0 * n_angles)
+        hw_k = hw + 0.5 * jnp.maximum(ext[k], jnp.float32(wander)) * f
         return d * f <= hw_k
 
     # rasterise only ACTIVE slots: frames carry 0-2 trails against the
@@ -469,7 +480,6 @@ def detect_trail_segments(image, mask_excl=None,
     12 sigma in this mode (a 10-sigma threshold doubled the
     structured-frame detections without any recall gain).
     """
-    import dataclasses
     params = dataclasses.replace(
         params, lit_frac=min(params.lit_frac, 0.3),
         nsigma=max(params.nsigma, 12.0))
@@ -480,10 +490,12 @@ def detect_trail_segments(image, mask_excl=None,
     # inside SOME tile — a non-overlapping grid splits a
     # boundary-straddling segment below the gate (measured at full
     # scale: a 1/4-frame streak across the 2x2 seam was lost)
+    # the last start is pinned to the frame edge: H // tiles * tiles
+    # can fall short of H, and the remainder strip must be covered too
     y0s = sorted({min(i * th_ // 2, H - th_)
-                  for i in range(2 * tiles - 1)})
+                  for i in range(2 * tiles - 1)} | {H - th_})
     x0s = sorted({min(i * tw_ // 2, W - tw_)
-                  for i in range(2 * tiles - 1)})
+                  for i in range(2 * tiles - 1)} | {W - tw_})
     mask = jnp.zeros((H, W), jnp.bool_)
     n_tot = jnp.int32(0)
     snrs = []
@@ -492,10 +504,13 @@ def detect_trail_segments(image, mask_excl=None,
             sub = image[y0:y0 + th_, x0:x0 + tw_]
             sexcl = (None if mask_excl is None
                      else mask_excl[y0:y0 + th_, x0:x0 + tw_])
+            # INCLUSIVE lower bound: overlapping tile origins land
+            # exactly on mid-frame channel seams (stride = th_/2), and
+            # a seam at relative row/col 0 must still be vetoed
             srows = tuple(r - y0 for r in seam_rows
-                          if y0 < r < y0 + th_)
+                          if y0 <= r < y0 + th_)
             scols = tuple(c - x0 for c in seam_cols
-                          if x0 < c < x0 + tw_)
+                          if x0 <= c < x0 + tw_)
             m, n, s = detect_trails(sub, sexcl, params,
                                     seam_rows=srows, seam_cols=scols)
             mask = mask.at[y0:y0 + th_, x0:x0 + tw_].set(
