@@ -69,14 +69,12 @@ class MasterStore:
         return None
 
     def _is_red(self, path: str) -> bool:
-        try:
-            _, h = read_rice(path)
-        except Exception:
-            try:
-                hdus = read_fits(path)
-                h = hdus[0][1]
-            except Exception:
-                return True
+        # header-only: find() probes every candidate of a ±31-day scan
+        # and a full read_rice would decompress ~450 MB per probe just
+        # to read one card
+        h = self._read_header(path)
+        if h is None:
+            return True
         return str(h.get("QC-FLAG", "green")).strip() == "red"
 
     def load(self, imgtype: str, date: str, filt=None):
@@ -152,20 +150,52 @@ class MasterStore:
         except Exception:
             return None
 
+    def _read_cached(self, path: str, header_only: bool = False):
+        """(data, header) of a published master, via the pixel cache.
+
+        ensure_master runs once per frame, and an uncached read
+        decompresses a full ~450 MB mosaic each time; header_only
+        callers (batched device path: the pixels are pre-staged, only
+        MBIAS-F/MFLAT-F cards are needed) skip the pixels entirely
+        unless they are already cached.
+        """
+        key = (path,)
+        if key in self._cache:
+            return self._cache[key]
+        if header_only:
+            h = self._read_header(path)
+            if h is not None:
+                self._stamp_provenance(h, path)
+            return None, h
+        data, h = read_rice(path)
+        self._stamp_provenance(h, path)
+        self._cache[key] = (data, h)
+        return data, h
+
     def ensure_master(self, imgtype: str, date: str, geom, filt=None,
-                      norm_sec=None, telescope=None):
+                      norm_sec=None, telescope=None,
+                      header_only: bool = False):
         """Return (mosaic, header), building this night's master if needed.
 
         Masters are stored as reduced-mosaic images (like the reference's
         products); callers disassemble to channel stacks via ``geom``.
+        A night whose own master grades RED is published once (for the
+        audit trail) but never APPLIED: readers fall back to the
+        nearest non-red master within ±fallback_days, exactly like the
+        reference's get_nearest_master (blackbox.py:4797, 5291-5398),
+        and the red master is only returned as a last resort when no
+        fallback exists (its header still carries the red flag).  An
+        existing red master is NEVER rebuilt — the inputs that made it
+        red have not changed.
         """
         tel = telescope or self.telescope
         path = self.master_path(imgtype, date, filt)
         ok, found = already_exists(path, get_filename=True)
-        if ok and not self._is_red(found):
-            data, header = read_rice(found)
-            self._stamp_provenance(header, found)
-            return data, header
+        if ok:
+            if not self._is_red(found):
+                return self._read_cached(found, header_only)
+            return self._fallback_or(found, imgtype, date, filt,
+                                     header_only)
 
         files = (self.individual_cals(imgtype, date, filt)
                  if self.policy.create else [])
@@ -180,19 +210,32 @@ class MasterStore:
                     else contextlib.nullcontext())
             with lock:
                 ok, found = already_exists(path, get_filename=True)
-                if ok and not self._is_red(found):
-                    data, header = read_rice(found)
-                    self._stamp_provenance(header, found)
-                    return data, header
+                if ok:
+                    if not self._is_red(found):
+                        return self._read_cached(found, header_only)
+                    return self._fallback_or(found, imgtype, date,
+                                             filt, header_only)
                 data, header = self._build(imgtype, files, filt, tel,
                                            geom, norm_sec)
                 write_rice(path, np.asarray(data, np.float32), header,
                            qlevel=32.0)
             self._stamp_provenance(header, path)
+            if str(header.get("QC-FLAG", "green")).strip() == "red":
+                return self._fallback_or(path, imgtype, date, filt,
+                                         header_only)
+            self._cache[(path,)] = (data, header)
             return data, header
         # fallback: nearest older master
         data, header = self.load(imgtype, date, filt)
         return data, header
+
+    def _fallback_or(self, red_path: str, imgtype: str, date: str,
+                     filt, header_only: bool):
+        """Nearest non-red master, else the red one as a last resort."""
+        alt = self.find(imgtype, date, filt)
+        if alt is not None:
+            return self._read_cached(alt, header_only)
+        return self._read_cached(red_path, header_only)
 
     def _build(self, imgtype: str, files: list, filt, tel, geom, norm_sec):
         import jax.numpy as jnp
@@ -243,8 +286,18 @@ class MasterStore:
         consecutive pointing offsets >= 5 arcsec; FLATDITH requires a
         2/3 majority."""
         from blackbox_tpu.astro.wcs import haversine
+        # chronological order: the selection list is sorted by window
+        # DISTANCE (for the ncal_max cap), which interleaves nights —
+        # "consecutive" offsets must compare frames taken back to back,
+        # as the reference sorts by mjd_obs before its dither check
+        # (blackbox.py:5027-5055)
+        def _mjd(h0):
+            try:
+                return float(h0.get("MJD-OBS"))
+            except (TypeError, ValueError):
+                return 0.0
         ra, dec = [], []
-        for h0 in headers:
+        for h0 in sorted(headers, key=_mjd):
             try:
                 ra.append(float(h0.get("RA")))
                 dec.append(float(h0.get("DEC")))

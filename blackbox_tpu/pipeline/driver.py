@@ -197,9 +197,6 @@ class Pipeline:
         self._calibrate_cal = jax.jit(
             lambda c, v, h, mb, mf, bpm: calibrate_detector(
                 ctx_, c, v, h, mb, mf, bpm, None, nl))
-        self._calibrate_nomaster = jax.jit(
-            lambda c, v, h: calibrate_detector(
-                ctx_, c, v, h, None, None, None, None))
         self._extract = jax.jit(lambda s, m: extract_catalog(ctx_, s, m))
 
         # fused science program: calibration + extraction in ONE jit —
@@ -362,19 +359,24 @@ class Pipeline:
             mbias = mflat = None
             if imgtype in ("object", "flat", "dark"):
                 if self.ctx.subtract_mbias:
-                    mb, mbh = self.masters.ensure_master("bias", date,
-                                                         self.geom)
-                    if mb is not None:
-                        if device_override is None:
+                    mb, mbh = self.masters.ensure_master(
+                        "bias", date, self.geom,
+                        header_only=device_override is not None)
+                    # header_only returns (None, header): gate the
+                    # stamps on the HEADER so the batched device path
+                    # still records which master was applied
+                    if mbh is not None:
+                        if device_override is None and mb is not None:
                             mbias = jnp.asarray(self.geom.disassemble(
                                 np.asarray(mb, np.float32)))
                         h["MBIAS-P"] = True
                         _master_keys("BIAS", mbh)
             if imgtype == "object":
-                mf, mfh = self.masters.ensure_master("flat", date, self.geom,
-                                                     filt=filt)
-                if mf is not None:
-                    if device_override is None:
+                mf, mfh = self.masters.ensure_master(
+                    "flat", date, self.geom, filt=filt,
+                    header_only=device_override is not None)
+                if mfh is not None:
+                    if device_override is None and mf is not None:
                         mflat = jnp.asarray(self.geom.disassemble(
                             np.asarray(mf, np.float32)))
                     h["MFLAT-P"] = True
@@ -577,9 +579,14 @@ class Pipeline:
                 # and the zeropoint low
                 ax, ay = cat["x"][sel], cat["y"][sel]
                 cx_, cy_ = cat["x"][cal], cat["y"][cal]
-                d2n = ((cx_[:, None] - ax[None, :]) ** 2
-                       + (cy_[:, None] - ay[None, :]) ** 2)
-                nnear = np.sum(d2n < 12.0 ** 2, axis=1)   # includes self
+                # chunked: the dense (Ncal, Nsel) matrix reaches
+                # multi-GB at the 20k-source capacity on crowded fields
+                nnear = np.empty(len(cx_), np.int64)
+                for c0 in range(0, len(cx_), 1024):
+                    cs = slice(c0, c0 + 1024)
+                    d2n = ((cx_[cs, None] - ax[None, :]) ** 2
+                           + (cy_[cs, None] - ay[None, :]) ** 2)
+                    nnear[cs] = np.sum(d2n < 12.0 ** 2, axis=1)  # incl self
                 iso = np.zeros_like(cal)
                 iso[np.flatnonzero(cal)] = nnear <= 1
                 if iso.sum() >= 5:
@@ -653,11 +660,17 @@ class Pipeline:
         mask_p = os.path.join(rdir, base + "_mask.fits.fz")
         hdr_p = os.path.join(rdir, base + "_red_hdr.fits")
         cat_p = os.path.join(rdir, base + "_red_cat.fits")
-        write_rice(red, sci_np, h, qlevel=16.0)
-        write_rice(mask_p, mask_np.astype(np.uint8), h, qlevel=16.0)
+        if reused is None:
+            write_rice(red, sci_np, h, qlevel=16.0)
+            write_rice(mask_p, mask_np.astype(np.uint8), h, qlevel=16.0)
+            products += [red, mask_p]
+            self._quicklook(red, sci_np, h, products)
+        # the header product always refreshes (the resume pass added
+        # new extraction/QC keys); the PIXEL products never rewrite on
+        # the reuse path — re-encoding decompressed q=16 data would
+        # compound Rice quantisation noise on every resume cycle
         write_image(hdr_p, None, h)
-        products += [red, mask_p, hdr_p]
-        self._quicklook(red, sci_np, h, products)
+        products.append(hdr_p)
 
         if flag == "red":
             write_dummy_catalog(cat_p, h, "new", self.telescope)
@@ -673,19 +686,28 @@ class Pipeline:
             return FrameResult(status="reduced", qc_flag="red",
                                products=products, header=h, stats=stats)
 
-        cols = device_cat_to_columns(
-            cat, zp, airmass=float(h.get("AIRMASS", 1.0)),
-            ext_coeff=self.ext_coeff, wcs=wcs,
-            n_aper=len(self.ctx.apphot_radii), exptime=exptime)
-        write_catalog(cat_p, cols, h, "new")
-        products.append(cat_p)
-        psf_p = os.path.join(rdir, base + "_psf.fits")
-        if "psf" in ext:
-            write_psf(psf_p, ext["psf"], h)
-            products.append(psf_p)
+        # catalog products ship only when the plan asked for them: an
+        # img_reduce-only request (cat_extract=False) must not publish
+        # a _red_cat, and a finished catalog must not be overwritten
+        # when only the transient stage is being resumed.  (The
+        # extraction itself still ran — it rides the fused
+        # calibrate+extract program and its stats feed the 'full' QC.)
+        if "cat_extract" in plan:
+            cols = device_cat_to_columns(
+                cat, zp, airmass=float(h.get("AIRMASS", 1.0)),
+                ext_coeff=self.ext_coeff, wcs=wcs,
+                n_aper=len(self.ctx.apphot_radii), exptime=exptime)
+            write_catalog(cat_p, cols, h, "new")
+            products.append(cat_p)
+            psf_p = os.path.join(rdir, base + "_psf.fits")
+            if "psf" in ext:
+                write_psf(psf_p, ext["psf"], h)
+                products.append(psf_p)
 
         # ---- transient extraction against the field reference ----
-        if trans_extract and self.subtract_refs:
+        # gated on the PLAN, not the raw flag: finished transient
+        # products must not be redone and overwritten on a resume
+        if "trans_extract" in plan and self.subtract_refs:
             try:
                 tr = self._transients(h, sci, ext, mask, wcs, cat, zp,
                                       rdir, base)
@@ -882,8 +904,12 @@ class Pipeline:
         mag = np.full(len(sel), 99.0, np.float32)
         if zp is not None:
             pos = tc["flux_psf"][sel] > 0
-            mag[pos] = zp - 2.5 * np.log10(
+            # same zeropoint convention as the source catalog
+            # (catalogs.device_cat_to_columns): zp includes the
+            # +k*airmass term, so the magnitude subtracts it back
+            mag[pos] = (zp - 2.5 * np.log10(
                 tc["flux_psf"][sel][pos] / max(float(h["EXPTIME"]), 1e-9))
+                - self.ext_coeff * float(h.get("AIRMASS", 1.0)))
         tcols = {
             "NUMBER": np.arange(1, len(sel) + 1, dtype=np.int32),
             "X_PEAK": (tc["x"][sel] + 1).astype(np.float32),

@@ -54,10 +54,14 @@ def master_flat(stack, geom: CCDGeometry, norm_sec, bpm=None,
     N, C, ych, xch = stack.shape
     nx = geom.nx
 
-    # per-frame STATSEC median on the mosaic section
-    mosaics = jnp.stack([geom.assemble(stack[i]) for i in range(N)])
-    medsec = jnp.median(
-        mosaics[:, norm_sec[0], norm_sec[1]].reshape(N, -1), axis=1)
+    # per-frame STATSEC median on the mosaic section.  Only the
+    # norm_sec slice of each assembled mosaic is kept: materialising N
+    # FULL mosaics (this runs eagerly from the master store, not under
+    # jit) costs N x 446 MB at production scale on top of the cube and
+    # the normalised copy — enough to OOM a 16 GB chip at N=15
+    medsec = jnp.median(jnp.stack(
+        [geom.assemble(stack[i])[norm_sec[0], norm_sec[1]]
+         for i in range(N)]).reshape(N, -1), axis=1)
     normed = stack / jnp.maximum(medsec[:, None, None, None], 1e-6)
     master = jnp.median(normed, axis=0)
 

@@ -181,3 +181,78 @@ def test_rejected_header(night, pipe, tmp_path):
     r = pipe.process_file(bad)
     assert r.status == "rejected"
     assert "missing required keyword" in r.error
+
+
+def test_img_reduce_only_and_resume(tmp_path):
+    """cat_extract=False publishes image products but NO catalog; a
+    later cat_extract resume writes the catalog WITHOUT re-encoding the
+    published pixel products (re-quantisation would compound)."""
+    root = str(tmp_path)
+    rng = np.random.default_rng(33)
+    files, truths, tree = night_of_observations(
+        root, TINY, rng, date="20260310", nbias=3, nflat=3, nsci=1,
+        nstars=30, ncosmics=4, trail=False, nsat=0, sky_e=300.0,
+        ra_deg=RA0, dec_deg=DEC0)
+    s = ReductionSettings(geometry=TINY, pixscale=PIXSCALE)
+    pipe = Pipeline(tree, "ML1", s, _ctx(s),
+                    ref_catalog=_ref_catalog_from_truth(truths[-1]),
+                    subtract_refs=False)
+    for f in files[:-1]:
+        pipe.process_file(f)
+
+    r = pipe.process_file(files[-1], cat_extract=False,
+                          trans_extract=False)
+    assert r.status == "reduced", r.error
+    assert not any(p.endswith("_red_cat.fits") for p in r.products)
+    rdir = tree.red_dir("20260310", "object")
+    base = os.path.basename(files[-1])[:-len(".fits")]
+    red = os.path.join(rdir, base + "_red.fits.fz")
+    cat = os.path.join(rdir, base + "_red_cat.fits")
+    assert os.path.exists(red)
+    assert not os.path.exists(cat)
+    red_bytes = open(red, "rb").read()
+
+    r2 = pipe.process_file(files[-1], trans_extract=False)
+    assert r2.status == "reduced", r2.error
+    assert os.path.exists(cat)
+    assert bool(r2.header.get("RED-REUSED"))
+    # published pixels untouched byte for byte
+    assert open(red, "rb").read() == red_bytes
+
+
+def test_red_master_not_applied(tmp_path):
+    """A night whose own master grades red is never applied: readers
+    fall back to the nearest non-red master (reference
+    get_nearest_master semantics), and the red master is not rebuilt."""
+    from blackbox_tpu.io.fits import Header
+    from blackbox_tpu.io.rice import write_rice
+    from blackbox_tpu.orchestration.masterstore import MasterStore
+    from blackbox_tpu.orchestration.paths import DataTree
+
+    tree = DataTree(str(tmp_path), "ML1")
+    store = MasterStore(tree, "ML1")
+    C = TINY.red_shape
+    img_red = np.full(C, 5.0, np.float32)
+    img_green = np.full(C, 7.0, np.float32)
+
+    hr = Header(); hr["QC-FLAG"] = "red"
+    pr = store.master_path("bias", "20260310")
+    os.makedirs(os.path.dirname(pr), exist_ok=True)
+    write_rice(pr, img_red, hr, qlevel=32.0)
+    hg = Header(); hg["QC-FLAG"] = "green"
+    pg = store.master_path("bias", "20260309")
+    write_rice(pg, img_green, hg, qlevel=32.0)
+
+    data, h = store.ensure_master("bias", "20260310", TINY)
+    assert h is not None
+    assert str(h.get("QC-FLAG")).strip() == "green"
+    assert "20260309" in str(h.get("MASTERF"))
+    assert abs(float(np.asarray(data).mean()) - 7.0) < 0.1
+
+    # without any fallback, the red master is the last resort — but it
+    # still carries its flag, and is not rebuilt
+    os.remove(pg)
+    store2 = MasterStore(tree, "ML1")
+    data2, h2 = store2.ensure_master("bias", "20260310", TINY)
+    assert str(h2.get("QC-FLAG")).strip() == "red"
+    assert abs(float(np.asarray(data2).mean()) - 5.0) < 0.1
