@@ -95,6 +95,16 @@ class ReductionSettings(Settings):
     # detected at bin 8, missed at bin 4).  The reference bins 2x for
     # the much slower acstools Hough path.
     use_unet_sat: bool = True       # U-Net segmentation (ASTA-equivalent)
+    detect_sat_segments: bool = False
+    # partial-trail (segment) detection: the band-Radon detector over
+    # an overlapping half-stride tile grid, covering short streaks
+    # (~1/4 of a line) the full-frame statistic is blind to — the one
+    # regime where the reference's ASTA CNN beats the full-frame Radon
+    # path (blackbox.py:4112-4117).  Cross-tile NMS dedups against the
+    # full-frame detections so NSATS stays a physical count.  Costs
+    # ~2.25 full-frame Radon equivalents (~80 ms at 10560² on v5e);
+    # off by default — enable where recall on short streaks beats
+    # specificity (ops/satdet.py::detect_trail_segments).
     sat_bin: int = 16               # binning for trail detection
                                     # (16x since round 4: -9 ms
                                     # in-context AND finds a 1.2-sigma

@@ -169,7 +169,8 @@ def _radon_fft(stack, n_angles: int, pack: bool = False):
 
 def detect_trails(image, mask_excl=None,
                   params: SatDetParams = SatDetParams(),
-                  seam_rows: tuple = (), seam_cols: tuple = ()):
+                  seam_rows: tuple = (), seam_cols: tuple = (),
+                  want_lines: bool = False):
     """Detect straight bright trails.
 
     image : (H, W) background-subtracted (or raw; the median is removed)
@@ -183,7 +184,11 @@ def detect_trails(image, mask_excl=None,
         rare, and seams are a tiny fraction of the frame at production
         channel sizes.
 
-    Returns (trail_mask bool (H, W), n_trails, peak_snr).
+    Returns (trail_mask bool (H, W), n_trails, peak_snr), plus — with
+    ``want_lines=True`` — a dict of per-slot line parameters
+    ``{"theta" (rad), "t" (signed offset, BINNED px, corner origin),
+    "snr" (0 = inactive slot)}`` used by the tiled segment mode's
+    cross-tile dedup (a line is ``(x/f)·cosθ + (y/f)·sinθ = t``).
     """
     p = params
     H, W = image.shape
@@ -443,15 +448,22 @@ def detect_trails(image, mask_excl=None,
         trail_mask = lax.cond(top_v[k] > 0,
                               lambda acc, k=k: acc | line_mask(k),
                               lambda acc: acc, trail_mask)
+    if want_lines:
+        # canonical signed offset in [-N/2, N/2): mod-N wrap removed so
+        # offsets from different tile/frame mod bases are comparable
+        t_phys = jnp.mod(m0_ref + N / 2.0, float(N)) - N / 2.0
+        lines = {"theta": th, "t": t_phys, "snr": top_v}
+        return trail_mask, n_trails, top_v, lines
     return trail_mask, n_trails, top_v
 
 
 def detect_trail_segments(image, mask_excl=None,
                           params: SatDetParams = SatDetParams(),
                           seam_rows: tuple = (), seam_cols: tuple = (),
-                          tiles: int = 2):
-    """Partial-trail detection: the band-Radon detector on a
-    ``tiles x tiles`` grid of subframes.
+                          tiles: int = 2, exclude_lines=None):
+    """Partial-trail detection: the band-Radon detector on an
+    overlapping ``(2·tiles-1) x (2·tiles-1)`` grid of half-stride
+    subframes, with cross-tile NMS so every physical trail counts ONCE.
 
     The full-frame statistic integrates each candidate line END TO END,
     so a streak lighting only ~1/4 of its line (a tumbling satellite, a
@@ -463,23 +475,40 @@ def detect_trail_segments(image, mask_excl=None,
     a trail's off-grid-angle wander splits its lit pixels over
     adjacent Radon offsets, so even a 60%-of-line segment measures
     ~0.35) admits it; the winsorised statistic, flank scoring, NMS and
-    thick-structure/seam vetoes run unchanged.  Opt-in: roughly one
-    extra full-frame Radon of cost (the four quarter-size transforms),
-    and a trail crossing several tiles is counted once PER TILE —
-    ``n_trails`` is an upper bound, the MASK is exact either way.
+    thick-structure/seam vetoes run unchanged.
 
-    EXPERIMENTAL, measured at 10560² on v5e: finds 1/4-frame streaks
-    down to 3 sigma/px that the full-frame detector misses at ANY
-    amplitude; zero detections on pure noise and on a 150-star field;
-    but a structured synthetic science frame (4000 stars, seams,
-    vignette, one real trail) yields ~7 detections — ~3 are the trail
-    seen by overlapping tiles, ~4 are genuine >14-sigma linear
-    structure — masking ~0.65% of the frame.  Use where recall beats
-    specificity (deep transient vetting); NOT wired into the
-    production calibration chain.  The peak threshold is floored at
-    12 sigma in this mode (a 10-sigma threshold doubled the
-    structured-frame detections without any recall gain).
+    Cost: the overlapping half-stride grid runs ``(2·tiles-1)²``
+    subframes of ``1/tiles²`` the frame area each — 9 quarter-size
+    Radon transforms ≈ 2.25 full-frame-Radon equivalents at the
+    default ``tiles=2`` (~83 ms per pass at 10560² on v5e).
+
+    Cross-tile dedup: each tile's detections carry global line
+    parameters (θ, offset); a greedy snr-ordered NMS merges detections
+    whose lines coincide within the angle-grid resolution and the
+    physical offset wander, so a segment seen by several overlapping
+    tiles is counted once.  ``exclude_lines`` (the ``lines`` dict of a
+    full-frame :func:`detect_trails` ``want_lines=True`` call, in the
+    SAME binning) seeds the NMS with already-counted full trails:
+    tile detections of those are suppressed and NOT counted, making
+    ``n_trails_full + n_segments`` a physical trail count for the
+    NSATS header.  Two genuinely distinct parallel trails closer than
+    the offset tolerance (~2·band widths at production scale) would
+    merge — the MASK is exact either way.
+
+    Measured at 10560² on v5e: finds 1/4-frame streaks down to
+    3 sigma/px that the full-frame detector misses at ANY amplitude;
+    zero detections on pure noise and on a 150-star field; a
+    structured synthetic science frame (4000 stars, seams, vignette,
+    one real trail) yields a handful of genuine >14-sigma
+    linear-structure detections, masking ~0.65% of the frame.  The
+    peak threshold is floored at 12 sigma in this mode (a 10-sigma
+    threshold doubled the structured-frame detections without any
+    recall gain).  Production wiring: opt-in via
+    ``ReductionSettings.detect_sat_segments`` — use where recall on
+    short streaks beats specificity (the reference's ASTA CNN regime,
+    blackbox.py:4112-4117).
     """
+    from jax import lax
     params = dataclasses.replace(
         params, lit_frac=min(params.lit_frac, 0.3),
         nsigma=max(params.nsigma, 12.0))
@@ -497,8 +526,13 @@ def detect_trail_segments(image, mask_excl=None,
     x0s = sorted({min(i * tw_ // 2, W - tw_)
                   for i in range(2 * tiles - 1)} | {W - tw_})
     mask = jnp.zeros((H, W), jnp.bool_)
-    n_tot = jnp.int32(0)
-    snrs = []
+    f = float(params.bin_factor)
+    thetas_all, ts_all, snrs_all, seeds_all = [], [], [], []
+    if exclude_lines is not None:
+        thetas_all.append(exclude_lines["theta"])
+        ts_all.append(exclude_lines["t"])
+        snrs_all.append(exclude_lines["snr"])
+        seeds_all.append(jnp.ones_like(exclude_lines["snr"], jnp.bool_))
     for y0 in y0s:
         for x0 in x0s:
             sub = image[y0:y0 + th_, x0:x0 + tw_]
@@ -511,13 +545,74 @@ def detect_trail_segments(image, mask_excl=None,
                           if y0 <= r < y0 + th_)
             scols = tuple(c - x0 for c in seam_cols
                           if x0 <= c < x0 + tw_)
-            m, n, s = detect_trails(sub, sexcl, params,
-                                    seam_rows=srows, seam_cols=scols)
+            m, n, s, ln = detect_trails(sub, sexcl, params,
+                                        seam_rows=srows,
+                                        seam_cols=scols,
+                                        want_lines=True)
             mask = mask.at[y0:y0 + th_, x0:x0 + tw_].set(
                 mask[y0:y0 + th_, x0:x0 + tw_] | m)
-            n_tot = n_tot + n
-            snrs.append(s)
-    # merged top-k peak significances (same shape contract as
+            # tile-local line -> global frame coordinates: the line
+            # (x/f)cosθ + (y/f)sinθ = t with tile-local (x, y) is
+            # t_global = t + (x0·cosθ + y0·sinθ)/f at global (xg, yg)
+            t_g = ln["t"] + (x0 * jnp.cos(ln["theta"])
+                             + y0 * jnp.sin(ln["theta"])) / f
+            thetas_all.append(ln["theta"])
+            ts_all.append(t_g)
+            snrs_all.append(ln["snr"])
+            seeds_all.append(jnp.zeros_like(ln["snr"], jnp.bool_))
+
+    theta = jnp.concatenate(thetas_all)
+    t_off = jnp.concatenate(ts_all)
+    snr = jnp.concatenate(snrs_all)
+    seed = jnp.concatenate(seeds_all)
+    K = int(theta.shape[0])
+
+    # ---- cross-tile greedy NMS in (θ, global offset) space ----
+    n_angles = 2 * params.n_slopes
+    dth_grid = np.pi / n_angles
+    wmax = max((1,) + tuple(params.band_widths))
+    min_tile_b = min(th_, tw_) / f
+    # angle tolerance: same ghost-fan logic as the in-tile NMS — a
+    # segment of tile length L stays inside a wmax band while tilted
+    # by up to ~wmax/L rad, i.e. that many grid steps of slack
+    ang_steps = int(np.clip(2 * round(wmax / (min_tile_b * dth_grid))
+                            + 1, 5, 33))
+    ang_tol = 0.5 * ang_steps * dth_grid + 1e-6
+    # offset tolerance: the misalignment wander over the FULL frame
+    # baseline plus the winning band's localisation slack
+    wander_full = 1.42 * (max(H, W) / f) * np.pi / (2.0 * n_angles)
+    t_tol = wander_full + 0.5 * wmax + 2.0
+
+    dth = theta[:, None] - theta[None, :]
+    dt = t_off[:, None] - t_off[None, :]
+    st = t_off[:, None] + t_off[None, :]
+    direct = (jnp.abs(dth) <= ang_tol) & (jnp.abs(dt) <= t_tol)
+    # θ lives on [0, π): a line near angle 0 registers at θ≈0 in one
+    # tile and θ≈π-δ (with negated offset) in another
+    flipped = ((jnp.abs(jnp.abs(dth) - np.pi) <= ang_tol)
+               & (jnp.abs(st) <= t_tol))
+    same = direct | flipped
+
+    active = seed | (snr > 0)
+    # seeds first, then by snr: a kept entry suppresses every matching
+    # later entry, so tile echoes of a seed (or of a stronger tile
+    # detection) never count
+    order = jnp.argsort(-(jnp.where(seed, jnp.float32(1e9), 0.0) + snr))
+    same_o = same[order][:, order]
+    active_o = active[order]
+    seed_o = seed[order]
+    snr_o = snr[order]
+    idx = jnp.arange(K)
+
+    def body(k, keep):
+        sup = same_o[k] & (idx > k) & keep[k] & active_o[k]
+        return keep & ~sup
+
+    keep = lax.fori_loop(0, K, body, active_o)
+    new = keep & ~seed_o
+    n_tot = jnp.sum(new).astype(jnp.int32)
+    # top-k NEW peak significances (same shape contract as
     # detect_trails' third return)
-    snr, _ = jax.lax.top_k(jnp.concatenate(snrs), params.max_trails)
-    return mask, n_tot, snr
+    snr_out, _ = lax.top_k(jnp.where(new, snr_o, 0.0),
+                           params.max_trails)
+    return mask, n_tot, snr_out

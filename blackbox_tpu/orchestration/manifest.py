@@ -78,6 +78,7 @@ def plan_tasks(tree: DataTree, date: str, filename: str,
     """Which stages still need to run for this frame, in order."""
     base = base_name(filename)
     plan = []
+    upstream_redo = False
     for task, on in (("img_reduce", img_reduce),
                      ("cat_extract", cat_extract and imgtype == "object"),
                      ("trans_extract",
@@ -90,6 +91,14 @@ def plan_tasks(tree: DataTree, date: str, filename: str,
             # dummy catalogs don't count as done
             redo = any(is_dummy_catalog(p) for p in st.present
                        if p.endswith(".fits"))
+        if not redo and upstream_redo and st.present:
+            # an upstream stage is re-running (e.g. the _red pixels were
+            # partially deleted), so surviving downstream products no
+            # longer correspond to the pixels about to be published —
+            # refresh them too, like the reference's always-regenerate
+            # behaviour on a non-red pass (blackbox.py:2096-2261)
+            redo = True
         if redo:
             plan.append(task)
+            upstream_redo = True
     return plan

@@ -225,17 +225,31 @@ class MasterStore:
                                          header_only)
             self._cache[(path,)] = (data, header)
             return data, header
-        # fallback: nearest older master
-        data, header = self.load(imgtype, date, filt)
-        return data, header
+        # fallback: nearest older master (header_only threads through —
+        # the batched device path only needs the MBIAS-F/MFLAT-F cards,
+        # not a ~450 MB decompress)
+        path = self.find(imgtype, date, filt)
+        if path is None:
+            return None, None
+        return self._read_cached(path, header_only)
 
     def _fallback_or(self, red_path: str, imgtype: str, date: str,
                      filt, header_only: bool):
-        """Nearest non-red master, else the red one as a last resort."""
+        """Nearest non-red master, else (None, None).
+
+        The reference's get_nearest_master (blackbox.py:5291-5398)
+        returns None when every candidate is red-flagged — the master
+        is simply not applied and the frame keeps MBIAS-P/MFLAT-P =
+        False.  Returning the red master here instead would stamp the
+        frame as corrected with no indication a red-flagged calibration
+        product was used (only the master's own header carries the
+        flag, and only MASTERF/MDATE propagate).
+        """
+        del red_path  # kept in the signature for the call sites' clarity
         alt = self.find(imgtype, date, filt)
         if alt is not None:
             return self._read_cached(alt, header_only)
-        return self._read_cached(red_path, header_only)
+        return None, None
 
     def _build(self, imgtype: str, files: list, filt, tel, geom, norm_sec):
         import jax.numpy as jnp

@@ -34,7 +34,8 @@ from blackbox_tpu.ops.nonlin import nonlin_correct
 from blackbox_tpu.ops.masking import build_mask
 from blackbox_tpu.ops.xtalk import xtalk_correct, xtalk_correct_mosaic
 from blackbox_tpu.ops.cosmics import lacosmic, LACosmicParams
-from blackbox_tpu.ops.satdet import detect_trails, SatDetParams
+from blackbox_tpu.ops.satdet import (
+    detect_trails, detect_trail_segments, SatDetParams)
 from blackbox_tpu.ops.labeling import euler_count
 from blackbox_tpu.ops.background import background_mesh, mini2back
 from blackbox_tpu.ops.detection import (
@@ -66,6 +67,7 @@ class ReduceContext:
     correct_nonlin: bool = False
     subtract_mbias: bool = False
     detect_sats: bool = True
+    detect_sat_segments: bool = False
     fwhm_guess: float = 3.0
 
     @classmethod
@@ -107,6 +109,7 @@ class ReduceContext:
             correct_nonlin=s.correct_nonlin,
             subtract_mbias=bool(get_par(s.subtract_mbias, telescope)),
             detect_sats=s.detect_sats,
+            detect_sat_segments=s.detect_sat_segments,
         )
         kw.update(overrides)
         return cls(**kw)
@@ -198,9 +201,24 @@ def calibrate_detector(ctx: ReduceContext, chan_data, os_vert, os_hori,
                           for i in range(1, Hr // geom.ysize_chan))
         seam_cols = tuple(geom.xsize_chan * j
                           for j in range(1, Wr // geom.xsize_chan))
-        trail_mask, ntrails, _ = detect_trails(clean, excl, ctx.sat_params,
-                                               seam_rows=seam_rows,
-                                               seam_cols=seam_cols)
+        if ctx.detect_sat_segments:
+            # full-frame pass first (more sensitive to faint FULL
+            # trails: the statistic integrates the whole line), then
+            # the tiled segment pass for short streaks, seeded with
+            # the full-frame lines so NSATS counts each physical
+            # trail once (ops/satdet.py::detect_trail_segments)
+            trail_mask, ntrails, _, lines = detect_trails(
+                clean, excl, ctx.sat_params, seam_rows=seam_rows,
+                seam_cols=seam_cols, want_lines=True)
+            seg_mask, n_seg, _ = detect_trail_segments(
+                clean, excl, ctx.sat_params, seam_rows=seam_rows,
+                seam_cols=seam_cols, exclude_lines=lines)
+            trail_mask = trail_mask | seg_mask
+            ntrails = ntrails + n_seg
+        else:
+            trail_mask, ntrails, _ = detect_trails(
+                clean, excl, ctx.sat_params, seam_rows=seam_rows,
+                seam_cols=seam_cols)
         mask_m = jnp.where(trail_mask & ((mask_m & maskbits.EDGE) == 0),
                            mask_m | maskbits.SATELLITE, mask_m)
         stats["nsats"] = ntrails

@@ -203,7 +203,8 @@ def make_raw_science(geom: CCDGeometry, rng: np.random.Generator,
                      ncosmics: int = 50, trail: bool = True,
                      nsat: int = 3, flat: Optional[np.ndarray] = None,
                      flux_range=(2e3, 2e5),
-                     stars: Optional[np.ndarray] = None):
+                     stars: Optional[np.ndarray] = None,
+                     trail_frac: float = 1.0):
     """Full synthetic science frame.  Returns (raw_adu, truth).
 
     ``stars`` (N, 4: x, y, flux, fwhm) fixes the star field — repeated
@@ -275,6 +276,16 @@ def make_raw_science(geom: CCDGeometry, rng: np.random.Generator,
     if trail:
         x0, y0 = rng.uniform(0, W / 4), rng.uniform(0, H)
         x1, y1 = rng.uniform(3 * W / 4, W), rng.uniform(0, H)
+        if trail_frac < 1.0:
+            # PARTIAL streak (tumbling satellite / glint / trail
+            # entering mid-exposure): keep only a trail_frac-length
+            # stretch of the line, randomly placed along it — the
+            # regime the tiled segment detector exists for
+            s0 = rng.uniform(0.0, 1.0 - trail_frac)
+            x0, y0, x1, y1 = (x0 + s0 * (x1 - x0),
+                              y0 + s0 * (y1 - y0),
+                              x0 + (s0 + trail_frac) * (x1 - x0),
+                              y0 + (s0 + trail_frac) * (y1 - y0))
         npts = int(2.5 * max(abs(x1 - x0), abs(y1 - y0)))
         ts = np.linspace(0, 1, max(npts, 2))
         txs = (x0 + ts * (x1 - x0)).astype(int)

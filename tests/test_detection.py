@@ -295,8 +295,28 @@ def test_trail_segments_partial_streak(rng):
     js = jax.jit(lambda a: detect_trail_segments(a, None, p)[:2])
     assert int(jf(jnp.asarray(img))) == 0          # full-frame blind
     m, n = js(jnp.asarray(img))
-    assert int(n) >= 1                             # segment mode sees it
+    # exactly once: the cross-tile NMS merges the echoes of the same
+    # physical streak seen by several overlapping tiles
+    assert int(n) == 1
     assert int(jnp.sum(m)) > 0
+
+    # a FULL bright trail, already counted by the full-frame pass,
+    # seeds the NMS via exclude_lines: zero NEW segment counts
+    img2 = rng.normal(0, 1, (H, W)).astype(np.float32)
+    for x in range(W):
+        y = int(100 + 0.7 * x)
+        if 0 <= y < H:
+            img2[y, x] += 10.0
+
+    @jax.jit
+    def fullpass(a):
+        _, nf, _, lines = detect_trails(a, None, p, want_lines=True)
+        _, ns, _ = detect_trail_segments(a, None, p,
+                                         exclude_lines=lines)
+        return nf, ns
+
+    nf, ns2 = fullpass(jnp.asarray(img2))
+    assert int(nf) == 1 and int(ns2) == 0
 
     noise = rng.normal(0, 1, (H, W)).astype(np.float32)
     _, n0 = js(jnp.asarray(noise))

@@ -220,6 +220,49 @@ def test_img_reduce_only_and_resume(tmp_path):
     assert open(red, "rb").read() == red_bytes
 
 
+def test_partial_trail_segments_e2e(tmp_path):
+    """detect_sat_segments=True drives the tiled segment detector
+    through Pipeline.process_file: the partial streak is masked
+    SATELLITE end to end, and the cross-tile NMS (seeded with the
+    full-frame detections) keeps NSATS a physical count — the SAME
+    trail seen by the full-frame pass and by several overlapping tiles
+    still counts exactly once (ops/satdet.py::detect_trail_segments;
+    reference ASTA regime blackbox.py:4112-4117)."""
+    from blackbox_tpu.core import maskbits
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(41)
+    files, truths, tree = night_of_observations(
+        root, TINY, rng, date="20260315", nbias=3, nflat=3, nsci=1,
+        nstars=40, ncosmics=5, trail=True, trail_frac=0.3, nsat=0,
+        sky_e=300.0, ra_deg=RA0, dec_deg=DEC0)
+    s = ReductionSettings(geometry=TINY, pixscale=PIXSCALE,
+                          detect_sat_segments=True)
+    pipe = Pipeline(tree, "ML1", s, _ctx(s),
+                    ref_catalog=_ref_catalog_from_truth(truths[-1]),
+                    subtract_refs=False)
+    for f in files[:-1]:
+        pipe.process_file(f)
+    r = pipe.process_file(files[-1], trans_extract=False)
+    assert r.status == "reduced", r.error
+    assert pipe.ctx.detect_sat_segments        # settings threaded through
+
+    # exactly ONE physical trail: the full-frame detection seeds the
+    # tiled pass's NMS, so tile echoes add nothing to the count
+    assert int(r.header["NSATS"]) == 1
+
+    # the streak is masked SATELLITE along its true path
+    mask_p = [p for p in r.products if p.endswith("_mask.fits.fz")][0]
+    m, _ = read_rice(mask_p)
+    m = np.asarray(m).astype(np.int32)
+    x0, y0, x1, y1, _ = truths[-1].trail
+    ts = np.linspace(0.05, 0.95, 100)
+    xs = np.clip((x0 + ts * (x1 - x0)).astype(int), 0, m.shape[1] - 1)
+    ys = np.clip((y0 + ts * (y1 - y0)).astype(int), 0, m.shape[0] - 1)
+    cov = ((m[ys, xs] & maskbits.SATELLITE) > 0).mean()
+    assert cov > 0.9, cov
+
+
 def test_red_master_not_applied(tmp_path):
     """A night whose own master grades red is never applied: readers
     fall back to the nearest non-red master (reference
@@ -249,10 +292,13 @@ def test_red_master_not_applied(tmp_path):
     assert "20260309" in str(h.get("MASTERF"))
     assert abs(float(np.asarray(data).mean()) - 7.0) < 0.1
 
-    # without any fallback, the red master is the last resort — but it
-    # still carries its flag, and is not rebuilt
+    # without any non-red fallback the master is simply NOT applied —
+    # reference get_nearest_master (blackbox.py:5291-5398) returns None
+    # rather than silently using a red-flagged calibration product
     os.remove(pg)
     store2 = MasterStore(tree, "ML1")
     data2, h2 = store2.ensure_master("bias", "20260310", TINY)
-    assert str(h2.get("QC-FLAG")).strip() == "red"
-    assert abs(float(np.asarray(data2).mean()) - 5.0) < 0.1
+    assert data2 is None and h2 is None
+    # ... and the red master itself was not rebuilt
+    from blackbox_tpu.io.rice import read_rice
+    assert str(read_rice(pr)[1].get("QC-FLAG")).strip() == "red"

@@ -328,3 +328,84 @@ def test_weather_overview_png(tmp_path):
     assert weather_overview([], "20260301", "ML1") is None
     assert weather_overview([{"DATE-OBS": "x"}] * 3,
                             "20260301", "ML1") is None
+
+
+def test_run_night_streaming(tmp_path):
+    """run_night end to end (scheduler.py:238; reference
+    blackbox.py:392-466): a feeder thread drops raw frames into the
+    watched dir MID-RUN — including one slow partial write the settle
+    guard must wait out — and the loop reduces every frame, drains the
+    queue past ``until()``, and the night yields an obslog."""
+    import glob
+    import threading
+
+    from blackbox_tpu.core.geometry import TINY
+    from blackbox_tpu.config.defaults import ReductionSettings
+    from blackbox_tpu.pipeline.driver import Pipeline
+    from blackbox_tpu.orchestration.scheduler import run_night
+    from blackbox_tpu.report.obslog import create_obslog
+    from blackbox_tpu.synth.observation import night_of_observations
+    from tests.test_driver import _ctx, PIXSCALE
+
+    date = "20260305"
+    # generate the night OFF to the side; the feeder streams it in
+    src_root = str(tmp_path / "src")
+    rng = np.random.default_rng(9)
+    files, truths, src_tree = night_of_observations(
+        src_root, TINY, rng, date=date, nbias=3, nflat=3, nsci=1,
+        nstars=25, ncosmics=5, trail=False, nsat=0, sky_e=300.0)
+
+    run_root = str(tmp_path / "run")
+    tree = DataTree(run_root, "ML1")
+    raw_dir = tree.raw_dir(date)
+    os.makedirs(raw_dir, exist_ok=True)
+    s = ReductionSettings(geometry=TINY, pixscale=PIXSCALE)
+    pipe = Pipeline(tree, "ML1", s, _ctx(s))
+
+    fed_all = threading.Event()
+
+    def feeder():
+        # cals first (arrival order of a real night), science last
+        for i, f in enumerate(files):
+            data = open(f, "rb").read()
+            dst = os.path.join(raw_dir, os.path.basename(f))
+            if i == len(files) - 1:
+                # slow partial write: the watcher must NOT enqueue the
+                # growing file (size keeps changing faster than
+                # stable_s) until the write completes
+                with open(dst, "wb") as fh:
+                    n = len(data)
+                    for k in range(5):
+                        fh.write(data[k * n // 5:(k + 1) * n // 5])
+                        fh.flush()
+                        os.fsync(fh.fileno())
+                        time.sleep(0.4)
+            else:
+                open(dst, "wb").write(data)
+            time.sleep(0.05)
+        fed_all.set()
+
+    def until():
+        # the sun is "up" once the feeder finished; drain_until still
+        # empties the queue before returning (reference keeps reducing
+        # frames that arrived before sunrise, blackbox.py:444-453)
+        if not fed_all.is_set():
+            return False
+        reds = glob.glob(os.path.join(
+            tree.red_dir(date), "**", "*_red.fits*"), recursive=True)
+        return len(reds) >= len(files)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    try:
+        rep = run_night(pipe, date, until=until, poll_s=0.1,
+                        max_runtime_s=300.0)
+    finally:
+        t.join(timeout=10.0)
+    assert rep.nprocessed == len(files)
+    assert rep.nreduced == len(files), \
+        [(p, r.status, r.error) for p, r in rep.results]
+
+    obslog = create_obslog(tree, date, "ML1")
+    txt = open(obslog).read()
+    assert "Observation log" in txt

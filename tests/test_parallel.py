@@ -225,3 +225,109 @@ def test_extract_catalog_sharded_parity(rng):
             np.asarray(sharded["stats"][k]),
             np.asarray(dense["stats"][k]), rtol=1e-5, atol=1e-6,
             err_msg=k)
+
+
+def test_batched_reduce_two_process_parity(tmp_path):
+    """The PRODUCTION batched reduce executed on a REAL 2-process mesh
+    (the DCN axis of SURVEY §5.8, not just initialization): one CPU
+    device per process, a 2-frame batch sharded over 'data', and each
+    process asserts its addressable shard is bit-identical to the
+    single-device per-frame program."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import os, sys
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        from blackbox_tpu.parallel.distributed import init_multihost
+        pid = int(sys.argv[1])
+        assert init_multihost(coordinator="127.0.0.1:29533",
+                              num_processes=2, process_id=pid)
+        assert jax.device_count() == 4
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from blackbox_tpu.core.geometry import TINY
+        from blackbox_tpu.config.defaults import ReductionSettings
+        from blackbox_tpu.ops.cosmics import LACosmicParams
+        from blackbox_tpu.ops.detection import DetectParams
+        from blackbox_tpu.ops.satdet import SatDetParams
+        from blackbox_tpu.pipeline.reduce import (ReduceContext,
+                                                  make_reduce_fn)
+        from blackbox_tpu.parallel.mesh import (make_mesh,
+                                                make_batched_reduce)
+        from blackbox_tpu.synth import make_raw_science
+
+        s = ReductionSettings(geometry=TINY)
+        ctx = ReduceContext.from_settings(
+            s, "ML1",
+            lac_params=LACosmicParams(sigclip=10.0, strip_rows=66),
+            det_params=DetectParams(nsigma=1.5, max_sources=256,
+                                    label_iters=24),
+            sat_params=SatDetParams(bin_factor=2, nsigma=8.0,
+                                    trail_halfwidth=4),
+            bkg_boxsize=33, apphot_radii=(2.0, 4.5, 9.0))
+
+        # both processes build BOTH frames deterministically
+        frames = []
+        for i in range(2):
+            raw, _ = make_raw_science(
+                TINY, np.random.default_rng(300 + i), nstars=20,
+                ncosmics=4, trail=False, nsat=0)
+            frames.append(TINY.split_raw(raw))
+        batch = tuple(np.stack([np.asarray(f[k]) for f in frames])
+                      for k in range(3))
+
+        # ONE device per process: jax.devices() orders process 0's
+        # devices first, so ids 0 and 2 straddle the process boundary
+        devs = jax.devices()
+        assert devs[0].process_index != devs[2].process_index
+        mesh = make_mesh(2, 1, devices=[devs[0], devs[2]])
+
+        def put(x):
+            sh = NamedSharding(
+                mesh, P(*(("data",) + (None,) * (x.ndim - 1))))
+            return jax.make_array_from_callback(
+                x.shape, sh, lambda idx: x[idx])
+
+        out = make_batched_reduce(ctx, mesh)(*map(put, batch))
+
+        # this process hosts exactly one frame of the batch
+        img_sh = [sh for sh in out["image"].addressable_shards]
+        assert len(img_sh) == 1
+        k = img_sh[0].index[0].start or 0
+        got_img = np.asarray(img_sh[0].data)[0]
+        got_mask = np.asarray(
+            out["mask"].addressable_shards[0].data)[0]
+
+        ref = make_reduce_fn(ctx)(
+            jnp.asarray(frames[k][0]), jnp.asarray(frames[k][1]),
+            jnp.asarray(frames[k][2]), None, None, None, None)
+        np.testing.assert_array_equal(got_img, np.asarray(ref["image"]))
+        np.testing.assert_array_equal(got_mask, np.asarray(ref["mask"]))
+        ns = out["stats"]["nobjects"]
+        mine = np.asarray(ns.addressable_shards[0].data)[0]
+        assert int(mine) == int(np.asarray(ref["stats"]["nobjects"]))
+        print("BATCHED_2PROC_OK", pid, "frame", k, flush=True)
+    """)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", script, str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd="/root/repo", text=True) for i in range(2)]
+    outs = []
+    for pr in procs:
+        try:
+            out, _ = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            out, _ = pr.communicate()
+        outs.append(out)
+    for i, out in enumerate(outs):
+        assert f"BATCHED_2PROC_OK {i}" in out, out[-3000:]
+    # both frames of the batch were covered, one per process
+    covered = {out.split("frame")[-1].strip()[:1] for out in outs}
+    assert covered == {"0", "1"}, outs

@@ -31,12 +31,51 @@ MARK1 = "<!-- AUTOGEN:QC-DIVERGENCE:END -->"
 
 
 def load_reference():
-    # set_qc.py is pure literal data (zero imports); exec in an empty
-    # namespace and take only the qc_range dict
-    ns: dict = {}
+    # set_qc.py is expected to be pure literal data, but the reference
+    # tree is untrusted content — extract the qc_range assignment via
+    # ast.literal_eval (which rejects anything non-literal) instead of
+    # exec'ing the file in-process
+    import ast
+    import operator as op
+
+    _BIN = {ast.Add: op.add, ast.Sub: op.sub, ast.Mult: op.mul,
+            ast.Div: op.truediv, ast.Pow: op.pow, ast.Mod: op.mod}
+
+    def safe(node):
+        # literals + arithmetic on literals only; anything else
+        # (names, calls, attributes, ...) is rejected
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, ast.Tuple):
+            return tuple(safe(e) for e in node.elts)
+        if isinstance(node, ast.List):
+            return [safe(e) for e in node.elts]
+        if isinstance(node, ast.Dict):
+            return {safe(k): safe(v)
+                    for k, v in zip(node.keys, node.values)}
+        if isinstance(node, ast.UnaryOp) and \
+                isinstance(node.op, (ast.USub, ast.UAdd)):
+            v = safe(node.operand)
+            return -v if isinstance(node.op, ast.USub) else +v
+        if isinstance(node, ast.BinOp) and type(node.op) in _BIN:
+            left, right = safe(node.left), safe(node.right)
+            if not all(isinstance(x, (int, float, complex))
+                       for x in (left, right)):
+                raise ValueError("non-numeric BinOp operand")
+            return _BIN[type(node.op)](left, right)
+        raise ValueError(f"non-literal node in qc_range: "
+                         f"{ast.dump(node)[:80]}")
+
     with open(REF_QC) as f:
-        exec(compile(f.read(), REF_QC, "exec"), ns)   # noqa: S102
-    return ns["qc_range"]
+        tree = ast.parse(f.read(), REF_QC)
+    for node in tree.body:
+        targets = (node.targets if isinstance(node, ast.Assign)
+                   else [node.target] if isinstance(node, ast.AnnAssign)
+                   else [])
+        for t in targets:
+            if isinstance(t, ast.Name) and t.id == "qc_range":
+                return safe(node.value)
+    raise ValueError(f"no literal qc_range assignment found in {REF_QC}")
 
 
 def norm_range(val_range):
