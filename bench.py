@@ -226,18 +226,17 @@ def main():
     import blackbox_tpu
     pkg = os.path.dirname(blackbox_tpu.__file__)
     h = hashlib.sha256()
+    # hash the WHOLE package, not a curated subtree list: round 4
+    # hashed only the trees known to feed the step, which left a
+    # latent trap — a behaviour-relevant edit in an unhashed tree
+    # (parallel/, astro/, ...) would keep a stale salt pin alive.
+    # Whole-package hashing costs ~ms and can only over-invalidate
+    # (one extra exploration roll after an unrelated edit), never
+    # under-invalidate.
     for path in sorted(
             [__file__]
-            + glob.glob(os.path.join(pkg, "ops", "*.py"))
-            + glob.glob(os.path.join(pkg, "pallas", "*.py"))
-            + glob.glob(os.path.join(pkg, "pipeline", "*.py"))
-            + glob.glob(os.path.join(pkg, "core", "*.py"))
-            # config shapes the traced step (ReductionSettings -> ctx)
-            # and synth shapes the inputs; a change there must re-roll
-            # the lottery too
-            + glob.glob(os.path.join(pkg, "config", "*.py"))
-            + glob.glob(os.path.join(pkg, "synth", "*.py"))
-            + glob.glob(os.path.join(pkg, "utils", "*.py"))):
+            + glob.glob(os.path.join(pkg, "**", "*.py"),
+                        recursive=True)):
         with open(path, "rb") as f:
             h.update(f.read())
     fp = h.hexdigest()[:16]
@@ -435,15 +434,17 @@ def science_bench(ctx, geom, args, xtalk, cache_dir=None):
     # autotune lottery re-rolls per module hash (~50% same-program
     # spread measured; PERF_NOTES.md).  Source files of every module
     # the pair traces through stand in for the module hash.
+    # whole-package hash (same rationale as the catalog metric's
+    # fingerprint above: a curated module list under-invalidates)
+    import glob
     import hashlib
-    import blackbox_tpu.pipeline.subtract as _m1
-    import blackbox_tpu.pipeline.reduce as _m2
-    import blackbox_tpu.ops.zogy as _m3
-    import blackbox_tpu.ops.transients as _m4
-    import blackbox_tpu.ops.warp as _m5
+    import blackbox_tpu
+    pkg = os.path.dirname(blackbox_tpu.__file__)
     h = hashlib.sha256()
-    for path in [__file__] + [m.__file__ for m in
-                              (_m1, _m2, _m3, _m4, _m5)]:
+    for path in sorted(
+            [__file__]
+            + glob.glob(os.path.join(pkg, "**", "*.py"),
+                        recursive=True)):
         with open(path, "rb") as f:
             h.update(f.read())
     fp = h.hexdigest()[:16]

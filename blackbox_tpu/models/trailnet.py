@@ -94,6 +94,20 @@ def segment_trails(params, image, cfg: TrailNetConfig = TrailNetConfig()):
     probf = prob.reshape(ny, nx, T, T).transpose(0, 2, 1, 3).reshape(
         ny * T, nx * T)[:Hb, :Wb]
     binmask = probf > cfg.threshold
+    if cfg.min_area > 1:
+        # ASTA's area_threshold (reference blackbox.py:4131-4137 drops
+        # sub-area_threshold components before the kron unbin): label
+        # the binned mask and zero components below min_area.  The
+        # min-propagation labeling under-merges blobs longer than
+        # ``iters`` px — a real trail then splits into fragments each
+        # >= ~iters px long, all far above min_area, so the filter's
+        # keep/drop decisions match exact labeling for everything but
+        # pathological sub-min_area fragments of real trails.
+        from blackbox_tpu.ops.labeling import label_components
+        lab = label_components(binmask, iters=64)
+        areas = jnp.zeros(binmask.size + 2, jnp.int32).at[
+            lab.ravel()].add(binmask.ravel().astype(jnp.int32))
+        binmask = binmask & (areas[lab] >= cfg.min_area)
     # unbin with kron-style expansion (reference np.kron, blackbox.py:4146)
     f = cfg.bin_factor
     big = jnp.repeat(jnp.repeat(binmask, f, axis=0), f, axis=1)

@@ -38,6 +38,18 @@ class VetNet(nn.Module):
 
 STAMP = 32
 
+# Default CLASS_REAL cut.  The synthetic injection campaign
+# (docs/OPERATING_CURVES.md, tools/operating_curves.py) measures
+# purity 1.000 at EVERY cut on synthetic bogus — the curve cannot
+# place an upper threshold — so the default stays the conventional
+# MeerCRAB operating point (0.5), keeping real-sky margin against
+# bogus classes the generator does not model.  Completeness on the
+# hard faint-amplitude held-out set at 0.5: 0.78 overall, 1.00 at
+# >= 8 sigma.  The driver stores the full CLASS_REAL column like the
+# reference stores MeerCRAB probabilities (set_qc.py:129 MC-P), so
+# consumers can always re-cut.
+RECOMMENDED_THRESHOLD = 0.5
+
 
 def _norm(c):
     med = jnp.median(c, axis=(1, 2), keepdims=True)

@@ -361,10 +361,16 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
     dxs = xs - xx
 
     def pass_strip(imgs, d, r0, r1, axis, mode):
-        # imgs share the mapping: weights/rounding indices compute ONCE
-        n = imgs[0].shape[axis]
+        # imgs share the mapping: weights/rounding indices compute ONCE.
+        # The OUTPUT length along ``axis`` is the grid's, which may be
+        # SHORTER than the source (blocked co-add: a slab taller than
+        # the output block feeds the warp; shift s then reads source
+        # row r + s exactly as in the equal-shape case, and the
+        # bottom pad only covers the part the slab does not).
+        n = d.shape[axis]
+        n_src = imgs[0].shape[axis]
         pad = [(0, 0), (0, 0)]
-        pad[axis] = (max(-r0, 0), max(r1, 0))
+        pad[axis] = (max(-r0, 0), max(r1 + n - n_src, 0))
         ps = [jnp.pad(im, pad, mode="edge") for im in imgs]
         off = max(-r0, 0)
 
@@ -372,11 +378,15 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
             i0 = off + s
             return (p[i0:i0 + n, :] if axis == 0 else p[:, i0:i0 + n])
 
+        def zero_like(im):
+            shape = (n, im.shape[1]) if axis == 0 else (im.shape[0], n)
+            return jnp.zeros(shape, im.dtype)
+
         if mode == "nearest":
             # rounding needs no tap margin: shrink to the round range
             n0, n1 = r0 + a - 1, r1 - a + 1
             si = jnp.clip(jnp.round(d).astype(jnp.int32), n0, n1)
-            outs = [jnp.zeros_like(im) for im in imgs]
+            outs = [zero_like(im) for im in imgs]
             for s in range(n0, n1 + 1):
                 m = si == s
                 outs = [jnp.where(m, sl(p, s), o)
@@ -392,17 +402,25 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
         # with the s-phases as host constants, so each tap is a few
         # mults + one reciprocal.
         import math
-        pid = jnp.pi * d
+        # static integer re-centering: the angle-addition identity
+        # evaluates sin(pi*d) — at slab-fed offsets (blocked co-add,
+        # |d| up to a few hundred) the f32 argument ulp eats the
+        # weights.  Shifting BOTH d and s by the range centre is exact
+        # (ds = d - s unchanged) and bounds the argument by half the
+        # range width.
+        c0 = (r0 + r1) // 2
+        d0 = d - c0
+        pid = jnp.pi * d0
         s_pi = jnp.sin(pid)
         s_pa = jnp.sin(pid / a)
         c_pa = jnp.cos(pid / a)
-        accs = [jnp.zeros_like(im) for im in imgs]
+        accs = [zero_like(im) for im in imgs]
         norm = jnp.zeros(d.shape, jnp.float32)
         for s in range(r0, r1 + 1):
-            ds = d - s
-            sgn = float((-1.0) ** (s % 2))
-            cs = float(math.cos(math.pi * s / a))
-            ss = float(math.sin(math.pi * s / a))
+            ds = d0 - (s - c0)
+            sgn = float((-1.0) ** ((s - c0) % 2))
+            cs = float(math.cos(math.pi * (s - c0) / a))
+            ss = float(math.sin(math.pi * (s - c0) / a))
             num = (a * sgn) * s_pi * (s_pa * cs - c_pa * ss)
             pid2 = (jnp.pi * ds) ** 2
             w = jnp.where(jnp.abs(ds) < 1e-7, 1.0,
@@ -459,11 +477,19 @@ def warp_shift2pass(srcs, modes, fills, grid, ranges, a: int = 3):
             continue
         v = pass_axis([_widen(srcs[i]) for i in group], dys, ry, 0, mode)
         o = pass_axis(v, dxs, rx, 1, mode)
+        # fill bounds come from the SOURCE's shape, not the grid's:
+        # they coincide in the same-frame warp, but a slab-fed call
+        # (blocked co-add) has a source taller than the output block,
+        # and grid-shaped bounds wrongly filled every coordinate past
+        # the block height (round-5 regression caught by the
+        # blocked-vs-resident parity test)
+        Hs, Ws = srcs[group[0]].shape
         if mode == "lanczos":
-            inb = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+            inb = (ys >= 0) & (ys <= Hs - 1) & (xs >= 0) & \
+                (xs <= Ws - 1)
         else:
-            inb = (ys >= -0.5) & (ys <= H - 0.5) & (xs >= -0.5) & \
-                (xs <= W - 0.5)
+            inb = (ys >= -0.5) & (ys <= Hs - 0.5) & (xs >= -0.5) & \
+                (xs <= Ws - 0.5)
         for i, oi in zip(group, o):
             oi = jnp.where(inb, oi.astype(srcs[i].dtype),
                            jnp.asarray(fills[i], srcs[i].dtype))

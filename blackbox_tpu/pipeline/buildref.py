@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import time
 from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
@@ -32,7 +33,8 @@ from blackbox_tpu.ops.coadd import (
     a_swarp_search, saturation_protect)
 from blackbox_tpu.ops.warp import (remap_grid, remap_grid_coarse,
                                    upsample_grid, lanczos_resample,
-                                   nearest_resample)
+                                   nearest_resample, warp_shift2pass,
+                                   grid_shift_ranges)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,8 +160,17 @@ def select_images(table: Sequence[dict],
 
 def coadd_field(inputs: Sequence[RefInput], out_wcs, out_shape,
                 s: BuildRefSettings = BuildRefSettings(),
-                zp_ref: Optional[float] = None):
+                zp_ref: Optional[float] = None,
+                remap: str = "shift2pass"):
     """Remap + scale + combine one field's inputs on the output grid.
+
+    remap="shift2pass" (production): the two-pass variable-weight
+    shifted-add resample (ops.warp.warp_shift2pass) — per-pixel
+    gathers run at ~1 px/cycle on v5e and made the co-add remap the
+    dominant device cost (measured round 5: 123 of 209 s for a
+    half-scale N=10 blocked stack).  "gather" restores the exact
+    36-tap gather form (the shift2pass sampling-displacement bound is
+    ~|d(ys)/dx|·|dxs| — sub-0.1 px for survey dither+rotation).
 
     Returns dict with image, bkg_std, mask, weights sum, per-input
     flux scales and the clip statistics.
@@ -172,18 +183,34 @@ def coadd_field(inputs: Sequence[RefInput], out_wcs, out_shape,
 
     imgs, stds, msks, fscales = [], [], [], []
     for inp in inputs:
-        ys, xs = remap_grid(inp.wcs, out_wcs, out_shape)
-        ys = jnp.asarray(ys)
-        xs = jnp.asarray(xs)
         # flux scale to the common zeropoint (prep_inputimages'
         # zp flattening, buildref.py:2442-2777): zp_i + extinction
         zp_i = inp.zp - inp.extco * (inp.airmass - 1.0)
         fs = 10.0 ** (0.4 * (zp_ref - zp_i))
-        img = lanczos_resample(inp.image, ys, xs) * fs
-        std = nearest_resample(inp.bkg_std, ys, xs,
-                               fill=jnp.float32(0.0)) * fs
-        msk = nearest_resample(inp.mask, ys, xs,
-                               fill=jnp.uint8(maskbits.EDGE))
+        if remap == "shift2pass":
+            sy_c, sx_c, Wy_c, Wx_c = remap_grid_coarse(
+                inp.wcs, out_wcs, out_shape)
+            ranges = grid_shift_ranges(sy_c, sx_c, blocks=8)
+            ys = upsample_grid(jnp.asarray(sy_c, jnp.float32),
+                               jnp.asarray(Wy_c), jnp.asarray(Wx_c))
+            xs = upsample_grid(jnp.asarray(sx_c, jnp.float32),
+                               jnp.asarray(Wy_c), jnp.asarray(Wx_c))
+            img, std, msk = warp_shift2pass(
+                (inp.image, inp.bkg_std, inp.mask),
+                ("lanczos", "nearest", "nearest"),
+                (0.0, jnp.float32(0.0), jnp.uint8(maskbits.EDGE)),
+                (ys, xs), ranges)
+            img = img * fs
+            std = std * fs
+        else:
+            ys, xs = remap_grid(inp.wcs, out_wcs, out_shape)
+            ys = jnp.asarray(ys)
+            xs = jnp.asarray(xs)
+            img = lanczos_resample(inp.image, ys, xs) * fs
+            std = nearest_resample(inp.bkg_std, ys, xs,
+                                   fill=jnp.float32(0.0)) * fs
+            msk = nearest_resample(inp.mask, ys, xs,
+                                   fill=jnp.uint8(maskbits.EDGE))
         imgs.append(img)
         stds.append(std)
         msks.append(msk)
@@ -230,7 +257,9 @@ def coadd_field(inputs: Sequence[RefInput], out_wcs, out_shape,
 def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
                         s: BuildRefSettings = BuildRefSettings(),
                         zp_ref: Optional[float] = None,
-                        block_rows: int = 1320, pad_rows: int = 256):
+                        block_rows: int = 1320, pad_rows: int = 256,
+                        instrument: bool = False,
+                        remap: str = "shift2pass"):
     """Row-blocked co-addition for stacks that exceed device memory.
 
     A 40-image full-frame stack is ~18 GB of fp32 (SURVEY.md §7.4 hard
@@ -309,6 +338,41 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
     # source rows or edge blocks read truncated slabs
     slab_h = min(erows + 32 + 2 * pad_rows, Hin)
 
+    # pre-pass: every block x input coarse grid (host WCS math), the
+    # slab origins, and — for the shift2pass remap — the UNION
+    # per-strip integer shift ranges (static: one traced program is
+    # shared by every input under lax.map and every block)
+    grids = {}
+    union_ry = union_rx = None
+    for b0 in range(0, H, block_rows):
+        ey0 = max(0, ((b0 - ext) // 32) * 32)
+        for i in range(N):
+            sy_c, sx_c, Wy_b, Wx_b = remap_grid_coarse(
+                inputs[i].wcs, out_wcs, (erows, W), y0=ey0)
+            lo = int(np.floor(sy_c.min())) - 4
+            hi = int(np.ceil(sy_c.max())) + 4
+            if hi - lo > slab_h:
+                log.warning("coadd block y=%d input %d: contribution "
+                            "span %d exceeds slab %d (raise pad_rows)",
+                            b0, i, hi - lo, slab_h)
+            y0s = int(np.clip(lo, 0, max(Hin - slab_h, 0)))
+            grids[(b0, i)] = (sy_c, sx_c, Wy_b, Wx_b, y0s)
+            if remap == "shift2pass":
+                # blocks=1 (global ranges, not per-strip): the blocked
+                # combiner UNROLLS the input loop (see combine_block),
+                # and the 8-strip x N-input unrolled HLO killed the
+                # tunnel compile helper (SIGKILL); the global-range
+                # body is ~8x smaller and the extra taps are
+                # exact-zero-weight work
+                ry, rx = grid_shift_ranges(sy_c - y0s, sx_c, blocks=1)
+                if union_ry is None:
+                    union_ry, union_rx = ry, rx
+                else:
+                    union_ry = (min(union_ry[0], ry[0]),
+                                max(union_ry[1], ry[1]))
+                    union_rx = (min(union_rx[0], rx[0]),
+                                max(union_rx[1], rx[1]))
+
     @jax.jit
     def combine_block(slab_img, std_in, slab_msk, csy, csx, Wy, Wx,
                       fs):
@@ -329,17 +393,42 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
             # coarse -> full grids on device (two small matmuls)
             yl = upsample_grid(sy_c, Wy, Wx)
             xl = upsample_grid(sx_c, Wy, Wx)
-            img = lanczos_resample(im, yl, xl) * f
-            std = nearest_resample(st, yl, xl,
-                                   fill=jnp.float32(0.0)) * f
-            m = nearest_resample(mk, yl, xl,
-                                 fill=jnp.uint8(maskbits.EDGE))
+            if remap == "shift2pass":
+                # streaming shifted-adds instead of per-pixel gathers:
+                # the gather form was the blocked co-add's dominant
+                # device cost (123 of 209 s at half scale, round 5)
+                img, std, m = warp_shift2pass(
+                    (im, st, mk), ("lanczos", "nearest", "nearest"),
+                    (0.0, jnp.float32(0.0), jnp.uint8(maskbits.EDGE)),
+                    (yl, xl), (union_ry, union_rx))
+                img = img * f
+                std = std * f
+            else:
+                img = lanczos_resample(im, yl, xl) * f
+                std = nearest_resample(st, yl, xl,
+                                       fill=jnp.float32(0.0)) * f
+                m = nearest_resample(mk, yl, xl,
+                                     fill=jnp.uint8(maskbits.EDGE))
             return img, std, m
 
-        # sequential over inputs (lax.map, not vmap): resampling all N
-        # inputs concurrently multiplies the live temps by N and OOMs
-        stack, std_b, mask_b = jax.lax.map(
-            one, (slab_img, std_in, slab_msk, csy, csx, fs))
+        # sequential over inputs — but PYTHON-UNROLLED, not lax.map:
+        # the loop body stops XLA fusing the shift2pass shifted-add
+        # chains, which materialises every tap slice of the padded
+        # slab (measured on chip, round 5: the SAME 10-input slab
+        # warp runs 25 ms unrolled vs 616 ms under lax.map vs the
+        # gather form's ~3 s).  Unrolling keeps the per-input temps
+        # sequential in program order, so peak liveness stays ~one
+        # input's working set (the old OOM argument against vmap).
+        def _index(t, i):
+            if isinstance(t, tuple):
+                return tuple(_index(x, i) for x in t)
+            return t[i]
+
+        ins = (slab_img, std_in, slab_msk, csy, csx, fs)
+        outs = [one(_index(ins, i)) for i in range(N)]
+        stack = jnp.stack([o[0] for o in outs])
+        std_b = jnp.stack([o[1] for o in outs])
+        mask_b = jnp.stack([o[2] for o in outs])
         discard = (mask_b & jnp.uint8(s.masktype_discard)) != 0
         w = jnp.where(discard | (std_b <= 0), 0.0,
                       1.0 / jnp.maximum(std_b, 1e-6) ** 2)
@@ -382,25 +471,31 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
     # async; only the np.asarray drain of block k-1 blocks).  Wall time
     # is then max(host prep + transfer, device compute) per block, not
     # their sum.
+    # opt-in per-stage breakdown (instrument=True): the pipeline is
+    # deliberately broken by a device sync after each stage so the
+    # wall time attributes to host-prep / upload / device-compute /
+    # drain — syncs pull a tiny strided scalar (block_until_ready can
+    # return early on tunneled backends, PERF_NOTES).
+    tim = ({"prep_s": 0.0, "upload_s": 0.0, "compute_s": 0.0,
+            "drain_s": 0.0, "nblocks": 0} if instrument else None)
+
+    def _sync(*arrs):
+        for a in arrs:
+            if isinstance(a, jnp.ndarray) and a.ndim >= 2:
+                float(jnp.sum(a[..., ::509, ::509]))
+
     pending = None
     for b0 in range(0, H, block_rows):
+        t0 = time.perf_counter() if instrument else 0.0
         hb = min(block_rows, H - b0)
         ey0 = max(0, ((b0 - ext) // 32) * 32)
         off = b0 - ey0
         slabs_i, slabs_s, slabs_m, csys, csxs = [], [], [], [], []
         y0s_list = []
         for i in range(N):
-            sy_c, sx_c, Wy_b, Wx_b = remap_grid_coarse(
-                inputs[i].wcs, out_wcs, (erows, W), y0=ey0)
+            sy_c, sx_c, Wy_b, Wx_b, y0s = grids[(b0, i)]
             if Wy is None:
                 Wy, Wx = jnp.asarray(Wy_b), jnp.asarray(Wx_b)
-            lo = int(np.floor(sy_c.min())) - 4
-            hi = int(np.ceil(sy_c.max())) + 4
-            if hi - lo > slab_h:
-                log.warning("coadd block y=%d input %d: contribution "
-                            "span %d exceeds slab %d (raise pad_rows)",
-                            b0, i, hi - lo, slab_h)
-            y0s = int(np.clip(lo, 0, max(Hin - slab_h, 0)))
             y0s_list.append(y0s)
             slabs_i.append(imgs[i][y0s:y0s + slab_h])
             if not use_mini:
@@ -408,29 +503,54 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
             slabs_m.append(msks[i][y0s:y0s + slab_h])
             csys.append((sy_c - y0s).astype(np.float32))
             csxs.append(sx_c.astype(np.float32))
+        stack_i = np.stack(slabs_i)
+        stack_m = np.stack(slabs_m)
+        stack_s = None if use_mini else np.stack(slabs_s)
+        if instrument:
+            t1 = time.perf_counter()
+            tim["prep_s"] += t1 - t0
         if use_mini:
             std_in = (stdm_stack,
                       jnp.asarray(np.asarray(y0s_list, np.int32)))
         else:
-            std_in = jnp.asarray(np.stack(slabs_s))
-        res = combine_block(
-            jnp.asarray(np.stack(slabs_i)),
-            std_in,
-            jnp.asarray(np.stack(slabs_m)),
-            jnp.asarray(np.stack(csys)), jnp.asarray(np.stack(csxs)),
-            Wy, Wx, fs_dev)
+            std_in = jnp.asarray(stack_s)
+        dev_i = jnp.asarray(stack_i)
+        dev_m = jnp.asarray(stack_m)
+        dev_cy = jnp.asarray(np.stack(csys))
+        dev_cx = jnp.asarray(np.stack(csxs))
+        if instrument:
+            _sync(dev_i, dev_m,
+                  *(std_in if isinstance(std_in, tuple) else (std_in,)))
+            t2 = time.perf_counter()
+            tim["upload_s"] += t2 - t1
+        res = combine_block(dev_i, std_in, dev_m, dev_cy, dev_cx,
+                            Wy, Wx, fs_dev)
+        if instrument:
+            _sync(*res)
+            t3 = time.perf_counter()
+            tim["compute_s"] += t3 - t2
+            tim["nblocks"] += 1
         if pending is not None:
+            td = time.perf_counter() if instrument else 0.0
             drain(pending)
+            if instrument:
+                tim["drain_s"] += time.perf_counter() - td
         pending = (b0, hb, off, res)
     if pending is not None:
+        td = time.perf_counter() if instrument else 0.0
         drain(pending)
+        if instrument:
+            tim["drain_s"] += time.perf_counter() - td
 
     std_co = np.asarray(coadd_bkg_std(jnp.asarray(out_wsum)))
-    return {
+    out = {
         "image": out_img, "bkg_std": std_co, "mask": out_mask,
         "wsum": out_wsum, "nclipped": out_nclip,
         "fscales": fscales, "zp": float(zp_ref), "nimages": N,
     }
+    if instrument:
+        out["timings"] = tim
+    return out
 
 
 def choose_clip_params(inputs: Sequence[RefInput],

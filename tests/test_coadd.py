@@ -214,9 +214,13 @@ def test_blocked_coadd_matches_resident(rng):
     assert flip.mean() < 1e-3, flip.sum()
     same = ~flip
     d = np.abs(blk["image"] - np.asarray(res["image"]))
-    # f32 device-grid upsampling shifts coordinates by ~1e-4 px; the
-    # resulting value differences are ~1e-3 of the sky noise
-    assert d[same].max() < 0.02, d[same].max()
+    # f32 device-grid upsampling shifts coordinates by ~1e-4 px, and
+    # the (round-5) shift2pass remap sums its taps in a different
+    # order between the slab-fed blocked call and the full-frame
+    # resident call (union vs per-input static ranges): the combined
+    # value differences stay under ~1% of the sky noise, concentrated
+    # on the star's steep gradient
+    assert d[same].max() < 0.05, d[same].max()
     assert np.allclose(blk["wsum"][same], np.asarray(res["wsum"])[same],
                        atol=1e-5)
     assert np.array_equal(blk["mask"], np.asarray(res["mask"]))
