@@ -358,11 +358,11 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
             y0s = int(np.clip(lo, 0, max(Hin - slab_h, 0)))
             grids[(b0, i)] = (sy_c, sx_c, Wy_b, Wx_b, y0s)
             if remap == "shift2pass":
-                # blocks=1 (global ranges, not per-strip): the blocked
-                # combiner UNROLLS the input loop (see combine_block),
-                # and the 8-strip x N-input unrolled HLO killed the
-                # tunnel compile helper (SIGKILL); the global-range
-                # body is ~8x smaller and the extra taps are
+                # blocks=1 (global ranges, not per-strip): the
+                # lax.map body must stay small — the 8-strip body
+                # under lax.map materialised tap slices (measured
+                # 180 s/block vs 15 s with the global-range body),
+                # and the extra taps beyond a strip's local need are
                 # exact-zero-weight work
                 ry, rx = grid_shift_ranges(sy_c - y0s, sx_c, blocks=1)
                 if union_ry is None:
@@ -411,24 +411,17 @@ def coadd_field_blocked(inputs: Sequence[RefInput], out_wcs, out_shape,
                                      fill=jnp.uint8(maskbits.EDGE))
             return img, std, m
 
-        # sequential over inputs — but PYTHON-UNROLLED, not lax.map:
-        # the loop body stops XLA fusing the shift2pass shifted-add
-        # chains, which materialises every tap slice of the padded
-        # slab (measured on chip, round 5: the SAME 10-input slab
-        # warp runs 25 ms unrolled vs 616 ms under lax.map vs the
-        # gather form's ~3 s).  Unrolling keeps the per-input temps
-        # sequential in program order, so peak liveness stays ~one
-        # input's working set (the old OOM argument against vmap).
-        def _index(t, i):
-            if isinstance(t, tuple):
-                return tuple(_index(x, i) for x in t)
-            return t[i]
-
-        ins = (slab_img, std_in, slab_msk, csy, csx, fs)
-        outs = [one(_index(ins, i)) for i in range(N)]
-        stack = jnp.stack([o[0] for o in outs])
-        std_b = jnp.stack([o[1] for o in outs])
-        mask_b = jnp.stack([o[2] for o in outs])
+        # sequential over inputs (lax.map, not vmap and not python-
+        # unrolled): vmap multiplies the live temps by N and OOMs;
+        # python-unrolling lets XLA interleave all N inputs' warps and
+        # ALSO OOMs (measured 27.9 GB at half scale).  The map body
+        # does tax the shift2pass fusion (the same 10-input slab warp
+        # measures 25 ms unrolled vs 616 ms mapped on chip), but with
+        # GLOBAL shift ranges (blocks=1, small body) the mapped warp
+        # still beats the per-pixel gather form by ~50x while keeping
+        # peak liveness at one input's working set.
+        stack, std_b, mask_b = jax.lax.map(
+            one, (slab_img, std_in, slab_msk, csy, csx, fs))
         discard = (mask_b & jnp.uint8(s.masktype_discard)) != 0
         w = jnp.where(discard | (std_b <= 0), 0.0,
                       1.0 / jnp.maximum(std_b, 1e-6) ** 2)
