@@ -286,3 +286,51 @@ def test_warp_shift2pass_coarse_step_grid():
                            g3, ranges)[0]
     np.testing.assert_allclose(np.asarray(out3), np.asarray(out4),
                                atol=2e-3)
+
+
+def test_shift2pass_slab_source(rng):
+    """A slab-fed warp (source taller than the output grid — the
+    blocked co-add's calling convention) must agree with the full-
+    frame warp on the same mapping: out row r reads slab row r+s, and
+    the fill bounds come from the SOURCE shape (round-5 regression:
+    grid-shaped bounds zeroed every coordinate past the block
+    height)."""
+    from blackbox_tpu.ops.warp import warp_shift2pass
+
+    H, W = 128, 64
+    src = rng.normal(0, 1, (H, W)).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    th = np.deg2rad(1.0)
+    ct, st = np.cos(th), np.sin(th)
+    cy, cx = H / 2, W / 2
+    ys = (cy + ct * (yy - cy) + st * (xx - cx) + 1.3).astype(np.float32)
+    xs = (cx - st * (yy - cy) + ct * (xx - cx) - 0.7).astype(np.float32)
+    ry = (int(np.floor((ys - yy).min())) - 2,
+          int(np.floor((ys - yy).max())) + 3)
+    rx = (int(np.floor((xs - xx).min())) - 2,
+          int(np.floor((xs - xx).max())) + 3)
+    full, mfull = warp_shift2pass(
+        (jnp.asarray(src), jnp.asarray((src > 0.5).astype(np.uint8))),
+        ("lanczos", "nearest"), (0.0, jnp.uint8(255)),
+        (jnp.asarray(ys), jnp.asarray(xs)), (ry, rx))
+
+    # slab: source rows 60..128 feed output rows 64..96
+    out0, n_out, y0s = 64, 32, 60
+    slab = src[y0s:y0s + 68]
+    ys_b = ys[out0:out0 + n_out] - y0s
+    xs_b = xs[out0:out0 + n_out]
+    dyb = ys_b - np.arange(n_out)[:, None]
+    ryb = (int(np.floor(dyb.min())) - 2, int(np.floor(dyb.max())) + 3)
+    blk, mblk = warp_shift2pass(
+        (jnp.asarray(slab),
+         jnp.asarray((slab > 0.5).astype(np.uint8))),
+        ("lanczos", "nearest"), (0.0, jnp.uint8(255)),
+        (jnp.asarray(ys_b), jnp.asarray(xs_b)), (ryb, rx))
+
+    d = np.abs(np.asarray(blk) - np.asarray(full)[out0:out0 + n_out])
+    # interior parity: identical taps, different static range centres
+    # (f32 rounding order only)
+    assert d[:, 4:-4].max() < 1e-4, d[:, 4:-4].max()
+    np.testing.assert_array_equal(
+        np.asarray(mblk)[:, 4:-4],
+        np.asarray(mfull)[out0:out0 + n_out, 4:-4])
