@@ -306,3 +306,31 @@ def test_blocked_coadd_mini_std_parity(rng):
     for key in ("image", "wsum", "nclipped", "mask", "bkg_std"):
         np.testing.assert_array_equal(np.asarray(a[key]),
                                       np.asarray(b[key]), err_msg=key)
+
+
+def test_blocked_coadd_instrumented(rng):
+    """instrument=True returns the per-stage wall breakdown (the
+    round-5 measurement hook) without changing the outputs."""
+    from blackbox_tpu.pipeline.buildref import coadd_field_blocked
+
+    H = W = 96
+    wcs_out = TanWCS.simple(150.0, -30.0, 0.5642, (H, W))
+    inputs = []
+    for i in range(3):
+        w_i = TanWCS.simple(150.0 + 1e-5 * i, -30.0, 0.5642, (H, W))
+        img = rng.normal(0, 4.0, (H, W)).astype(np.float32)
+        inputs.append(RefInput(
+            image=jnp.asarray(img),
+            bkg_std=jnp.full((H, W), 4.0, jnp.float32),
+            mask=jnp.asarray(np.zeros((H, W), np.uint8)),
+            wcs=w_i, zp=25.0))
+    a = coadd_field_blocked(inputs, wcs_out, (H, W), block_rows=48,
+                            pad_rows=8)
+    b = coadd_field_blocked(inputs, wcs_out, (H, W), block_rows=48,
+                            pad_rows=8, instrument=True)
+    tim = b["timings"]
+    assert tim["nblocks"] == 2
+    assert all(k in tim for k in
+               ("prep_s", "upload_s", "compute_s", "drain_s"))
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["nclipped"], b["nclipped"])
